@@ -1,0 +1,231 @@
+"""Functional NN layers with the reference's exact numerics.
+
+Rebuilt from the behavior of models/recurrent_z/ops.py (reference):
+  - conv2d: 5x5 stride-2 SAME, truncated-normal(0.02) weights, zero bias
+    (ops.py:51-62)
+  - conv3d: 3x3x3 stride-2 SAME (ops.py:64-75)
+  - deconv2d: 5x5 stride-2 transposed conv, normal(0.02) weights, TF
+    [h, w, out_ch, in_ch] kernel layout / gradient-of-conv semantics
+    (ops.py:77-100)
+  - linear: normal(0.02) weights (ops.py:106-117)
+  - batch_norm: decay 0.9, eps 1e-5, scale+center, train/inference modes
+    (ops.py:10-24 wrapping tf.contrib.layers.batch_norm)
+  - lrelu leak 0.2 (ops.py:103), add_noise (ops.py:119-123),
+    get_std (ops.py:125-128)
+
+Design is TPU-first: parameters are plain pytrees (dicts of arrays), every
+layer is a pure function, layouts are NHWC/NDHWC (XLA:TPU native), and all
+matmuls/convs take a `dtype` so activations can run in bfloat16 on the MXU
+while parameters stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def truncated_normal_init(key, shape, stddev=0.02, dtype=jnp.float32):
+    """TF truncated_normal_initializer: normal clipped to 2 sigma, resampled.
+
+    jax.random.truncated_normal samples from the same +-2-sigma truncated
+    distribution (exact, not clip-based).
+    """
+    return stddev * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+def normal_init(key, shape, stddev=0.02, dtype=jnp.float32):
+    return stddev * jax.random.normal(key, shape, dtype)
+
+
+# ---------------------------------------------------------------------------
+# conv2d — 5x5 stride-2 SAME
+# ---------------------------------------------------------------------------
+
+def conv2d_init(key, in_ch: int, out_ch: int, k: int = 5, stddev: float = 0.02):
+    return {
+        "w": truncated_normal_init(key, (k, k, in_ch, out_ch), stddev),
+        "b": jnp.zeros((out_ch,), jnp.float32),
+    }
+
+
+def conv2d(params, x: Array, stride: int = 2, dtype=None) -> Array:
+    dtype = dtype or x.dtype
+    w = params["w"].astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), w,
+        window_strides=(stride, stride),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (y + params["b"]).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# conv3d — 3x3x3 stride-2 SAME (video discriminator)
+# ---------------------------------------------------------------------------
+
+def conv3d_init(key, in_ch: int, out_ch: int, k: int = 3, stddev: float = 0.02):
+    return {
+        "w": truncated_normal_init(key, (k, k, k, in_ch, out_ch), stddev),
+        "b": jnp.zeros((out_ch,), jnp.float32),
+    }
+
+
+def conv3d(params, x: Array, stride: int = 2, dtype=None) -> Array:
+    dtype = dtype or x.dtype
+    w = params["w"].astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), w,
+        window_strides=(stride, stride, stride),
+        padding="SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (y + params["b"]).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# deconv2d — transposed conv, TF kernel layout [h, w, out_ch, in_ch]
+# ---------------------------------------------------------------------------
+
+def deconv2d_init(key, in_ch: int, out_ch: int, k: int = 5, stddev: float = 0.02):
+    # TF conv2d_transpose filter layout: [height, width, output_ch, input_ch]
+    # (ops.py:82). Kept identical so checkpoints port 1:1.
+    return {
+        "w": normal_init(key, (k, k, out_ch, in_ch), stddev),
+        "b": jnp.zeros((out_ch,), jnp.float32),
+    }
+
+
+def deconv2d(params, x: Array, stride: int = 2, dtype=None) -> Array:
+    """Exact tf.nn.conv2d_transpose(..., padding='SAME') semantics.
+
+    TF's conv2d_transpose is the gradient-of-conv2d: its [h,w,out,in] filter
+    is the HWIO kernel of the forward conv being transposed. In JAX that is
+    conv_transpose(..., transpose_kernel=True) with the kernel as HWIO where
+    I = deconv output channels, O = deconv input channels.
+    """
+    dtype = dtype or x.dtype
+    w = params["w"].astype(dtype)
+    k = w.shape[0]
+    # Gradient-of-conv written explicitly: dilate the input by `stride`,
+    # convolve stride-1 with the spatially-flipped kernel (in/out swapped).
+    # TF SAME forward conv (n=m*stride -> m) pads total (k - stride), low
+    # side getting the floor; the transpose therefore pads (k-1-pl, k-1-pr).
+    pad_total = max(k - stride, 0)
+    pl = pad_total // 2
+    pr = pad_total - pl
+    pad = (k - 1 - pl, k - 1 - pr)
+    rhs = jnp.transpose(jnp.flip(w, (0, 1)), (0, 1, 3, 2))
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), rhs,
+        window_strides=(1, 1),
+        padding=(pad, pad),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (y + params["b"]).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# linear
+# ---------------------------------------------------------------------------
+
+def linear_init(key, in_dim: int, out_dim: int, stddev: float = 0.02,
+                bias_start: float = 0.0):
+    return {
+        "w": normal_init(key, (in_dim, out_dim), stddev),
+        "b": jnp.full((out_dim,), bias_start, jnp.float32),
+    }
+
+
+def linear(params, x: Array, dtype=None) -> Array:
+    dtype = dtype or x.dtype
+    y = jnp.dot(x.astype(dtype), params["w"].astype(dtype),
+                preferred_element_type=jnp.float32)
+    return (y + params["b"]).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# batch norm — decay 0.9, eps 1e-5, dual train/inference semantics
+# ---------------------------------------------------------------------------
+
+def batch_norm_init(num_features: int):
+    """Returns (params, state): learnable scale/bias + running moments."""
+    params = {
+        "scale": jnp.ones((num_features,), jnp.float32),
+        "bias": jnp.zeros((num_features,), jnp.float32),
+    }
+    state = {
+        "mean": jnp.zeros((num_features,), jnp.float32),
+        "var": jnp.ones((num_features,), jnp.float32),
+    }
+    return params, state
+
+
+def batch_norm(params, state, x: Array, train: bool,
+               momentum: float = 0.9, eps: float = 1e-5):
+    """Returns (y, new_state).
+
+    train=True: normalize by batch moments over all non-channel axes and
+    update running moments with EMA decay `momentum` — matching
+    tf.contrib.layers.batch_norm(decay=0.9, epsilon=1e-5, scale=True,
+    updates_collections=None) (reference ops.py:17-24). train=False:
+    normalize by running moments, state unchanged.
+
+    Under pjit data parallelism the batch moments are computed over the full
+    logical batch (XLA inserts the cross-device reduction), i.e. sync-BN for
+    free.
+    """
+    axes = tuple(range(x.ndim - 1))
+    if train:
+        mean = jnp.mean(x.astype(jnp.float32), axis=axes)
+        var = jnp.var(x.astype(jnp.float32), axis=axes)
+        new_state = {
+            "mean": momentum * state["mean"] + (1.0 - momentum) * mean,
+            "var": momentum * state["var"] + (1.0 - momentum) * var,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    inv = jax.lax.rsqrt(var + eps) * params["scale"]
+    y = (x.astype(jnp.float32) - mean) * inv + params["bias"]
+    return y.astype(x.dtype), new_state
+
+
+# ---------------------------------------------------------------------------
+# activations / noise / diagnostics
+# ---------------------------------------------------------------------------
+
+def lrelu(x: Array, leak: float = 0.2) -> Array:
+    return jnp.maximum(x, leak * x)
+
+
+def add_noise(key: Optional[Array], x: Array, stddev: float) -> Array:
+    """Gaussian instance noise (ops.py:119-123). No-op when stddev == 0."""
+    if stddev == 0.0 or key is None:
+        return x
+    return x + stddev * jax.random.normal(key, x.shape, x.dtype)
+
+
+def get_std(x: Array) -> Array:
+    """Mean per-feature std over the batch axis (ops.py:125-128) — the
+    GAN-collapse early-warning diagnostic printed each step."""
+    var = jnp.var(x.astype(jnp.float32), axis=0)
+    return jnp.sqrt(jnp.mean(var))
+
+
+def sigmoid_ce(logits: Array, labels: Array) -> Array:
+    """tf.nn.sigmoid_cross_entropy_with_logits, mean-reduced."""
+    zeros = jnp.zeros_like(logits)
+    cond = logits >= zeros
+    relu_logits = jnp.where(cond, logits, zeros)
+    neg_abs = jnp.where(cond, -logits, logits)
+    return jnp.mean(relu_logits - logits * labels + jnp.log1p(jnp.exp(neg_abs)))

@@ -1,0 +1,72 @@
+"""Data-parallel training over a device mesh.
+
+The reference has no distributed training at all (SURVEY.md §2.9); this is
+the TPU-native scaling story: parameters/optimizer state replicated, batch
+(and the time-folded frame batch — frames shard exactly like batch, §5.7)
+sharded over the mesh `data` axis. The train step itself is unchanged — XLA's
+SPMD partitioner inserts the gradient all-reduces and BN-moment reductions
+over ICI from the input shardings alone.
+
+The `model` mesh axis is plumbed but unused at this model scale (<20M params);
+tensor-parallel shardings can be added per-layer later without touching the
+step functions.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gifgan_tpu.core.mesh import DATA_AXIS, data_sharding, replicated_sharding
+
+
+def shard_train_state(mesh: Mesh, ts):
+    """Replicate all train state over the mesh."""
+    sh = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), ts)
+
+
+def shard_batch_arrays(mesh: Mesh, *arrays):
+    """Place host arrays batch-sharded over the data axis."""
+    out = tuple(
+        jax.device_put(a, data_sharding(mesh, ndim=a.ndim)) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def make_sharded_step(step_fn: Callable, mesh: Mesh, *, static_args: dict,
+                      donate_state: bool = True) -> Callable:
+    """Wrap a (ts, *batch_arrays, rng, **static) step into a pjit'd function
+    with explicit shardings: state replicated, batch data-sharded, rng
+    replicated.
+
+    step_fn signature: (ts, *arrays, rng, **static_args) -> (ts, metrics).
+    """
+    rep = replicated_sharding(mesh)
+
+    def bound(ts, *args):
+        *arrays, rng = args
+        return step_fn(ts, *arrays, rng, **static_args)
+
+    def in_shardings(ts, *args):
+        *arrays, rng = args
+        ts_sh = jax.tree_util.tree_map(lambda _: rep, ts)
+        arr_sh = tuple(data_sharding(mesh, ndim=a.ndim) for a in arrays)
+        return (ts_sh,) + arr_sh + (rep,)
+
+    compiled_cache = {}
+
+    def call(ts, *args):
+        shapes = tuple(a.shape for a in args[:-1])
+        if shapes not in compiled_cache:
+            shardings = in_shardings(ts, *args)
+            compiled_cache[shapes] = jax.jit(
+                bound,
+                in_shardings=shardings,
+                donate_argnums=(0,) if donate_state else (),
+            )
+        return compiled_cache[shapes](ts, *args)
+
+    return call

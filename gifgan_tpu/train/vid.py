@@ -1,0 +1,233 @@
+"""VID_DCGAN (recurrent-z video GAN) training — fused jitted steps.
+
+Semantics rebuilt from z_model_lib.py (reference):
+
+  - Fake path during training: video-G in TRAIN mode produces per-frame
+    latents; the nested image generator runs in INFERENCE mode (the reference
+    wires `sampler(sample_z=G_out)`, z_model_lib.py:68-76 + model.py:111) and
+    the image discriminator's activation tap is taken in INFERENCE mode
+    (D_activations_inf_, z_model_lib.py:89). Image BN state therefore never
+    updates during video training — the image GAN is frozen by default.
+  - Real path: image-D inference-mode activations of the (instance-noised)
+    real frames (z_model_lib.py:84).
+  - Activation noise on both paths (z_model_lib.py:84,89); image noise on
+    frames (model.py:82,112).
+  - The video discriminator's BN always uses batch statistics (the reference
+    calls its bns without a train flag, z_model_lib.py:411-413).
+  - Freezing: the reference restores the image GAN into a nested scope and
+    excludes its vars from the optimizers (z_model_lib.py:117-134, 165-185).
+    Here frozen-vs-trainable is an explicit pytree partition; the
+    --train_img_gen / --train_img_disc unfreeze flags select the partition.
+  - Loss: GAN sigmoid-CE + first_frame_loss_scalar * MSE(frame-0 latent,
+    z[:, :z_out]) (z_model_lib.py:102-115).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gifgan_tpu.core.config import TrainConfig, VidGANConfig
+from gifgan_tpu.models import dcgan, vid_dcgan
+from gifgan_tpu.models.vid_dcgan import VidGANParams, VidGANState
+from gifgan_tpu.ops import nn
+from gifgan_tpu.train.gan import make_optimizer
+
+Array = jax.Array
+
+
+class VidTrainState(NamedTuple):
+    params: VidGANParams
+    state: VidGANState
+    opt_g: optax.OptState
+    opt_d: optax.OptState
+    step: Array
+
+
+def _g_trainable(params: VidGANParams, tcfg: TrainConfig) -> Dict:
+    t = {"vid": params.vid_generator}
+    if tcfg.train_img_gen:
+        t["img"] = params.img_generator
+    return t
+
+
+def _d_trainable(params: VidGANParams, tcfg: TrainConfig) -> Dict:
+    t = {"vid": params.vid_discriminator}
+    if tcfg.train_img_disc:
+        t["img"] = params.img_discriminator
+    return t
+
+
+def init_train_state(key, cfg: VidGANConfig, tcfg: TrainConfig) -> VidTrainState:
+    params, state = vid_dcgan.init(key, cfg)
+    opt = make_optimizer(tcfg)
+    return VidTrainState(
+        params=params,
+        state=state,
+        opt_g=opt.init(_g_trainable(params, tcfg)),
+        opt_d=opt.init(_d_trainable(params, tcfg)),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _fake_activations(params: VidGANParams, state: VidGANState, z: Array,
+                      cfg: VidGANConfig, keys) -> Tuple[Array, Array, Dict]:
+    """vidG(train) -> imgG(inference) -> noise -> imgD(inference) h2 tap."""
+    g_out, vid_gs = vid_dcgan.vid_generator(
+        params.vid_generator, state.vid_generator, z, cfg, train=True)
+    frames, _ = dcgan.generator(
+        params.img_generator, state.img_generator, g_out, cfg.image_gan,
+        train=False)
+    noisy_frames = nn.add_noise(keys[0], frames, cfg.image_noise_std)
+    _, acts, _ = dcgan.discriminator(
+        params.img_discriminator, state.img_discriminator, noisy_frames,
+        cfg.image_gan, train=False)
+    acts = nn.add_noise(keys[1], acts, cfg.activation_noise_std)
+    return acts, g_out, vid_gs
+
+
+def _real_activations(params: VidGANParams, state: VidGANState, frames: Array,
+                      cfg: VidGANConfig, keys) -> Array:
+    noisy = nn.add_noise(keys[0], frames, cfg.image_noise_std)
+    _, acts, _ = dcgan.discriminator(
+        params.img_discriminator, state.img_discriminator, noisy,
+        cfg.image_gan, train=False)
+    return nn.add_noise(keys[1], acts, cfg.activation_noise_std)
+
+
+def _d_step(ts: VidTrainState, frames: Array, z: Array, rng,
+            cfg: VidGANConfig, tcfg: TrainConfig, opt) -> Tuple[VidTrainState, Dict]:
+    keys = jax.random.split(rng, 4)
+    frozen = ts.params
+
+    def loss_fn(trainable):
+        params = frozen._replace(vid_discriminator=trainable["vid"])
+        if "img" in trainable:
+            params = params._replace(img_discriminator=trainable["img"])
+        real_acts = _real_activations(params, ts.state, frames, cfg, keys[:2])
+        fake_acts, _, _ = _fake_activations(params, ts.state, z, cfg, keys[2:])
+        logits_real, ds1 = vid_dcgan.vid_discriminator(
+            params.vid_discriminator, ts.state.vid_discriminator, real_acts,
+            cfg, train=True)
+        logits_fake, ds2 = vid_dcgan.vid_discriminator(
+            params.vid_discriminator, ds1, fake_acts, cfg, train=True)
+        loss_real = nn.sigmoid_ce(logits_real, jnp.ones_like(logits_real))
+        loss_fake = nn.sigmoid_ce(logits_fake, jnp.zeros_like(logits_fake))
+        aux = (loss_real, loss_fake, ds2,
+               nn.get_std(real_acts.reshape(real_acts.shape[0], -1)),
+               nn.get_std(fake_acts.reshape(fake_acts.shape[0], -1)))
+        return loss_real + loss_fake, aux
+
+    trainable = _d_trainable(ts.params, tcfg)
+    (d_loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+    loss_real, loss_fake, vid_ds, real_std, fake_std = aux
+    updates, opt_d = opt.update(grads, ts.opt_d, trainable)
+    new_trainable = optax.apply_updates(trainable, updates)
+
+    params = ts.params._replace(vid_discriminator=new_trainable["vid"])
+    if "img" in new_trainable:
+        params = params._replace(img_discriminator=new_trainable["img"])
+    ts = ts._replace(params=params,
+                     state=ts.state._replace(vid_discriminator=vid_ds),
+                     opt_d=opt_d)
+    metrics = {
+        "d_loss": d_loss,
+        "d_loss_real": loss_real,
+        "d_loss_fake": loss_fake,
+        "real_activation_std": real_std,
+        "fake_activation_std": fake_std,
+    }
+    return ts, metrics
+
+
+def _g_step(ts: VidTrainState, z: Array, rng, cfg: VidGANConfig,
+            tcfg: TrainConfig, opt) -> Tuple[VidTrainState, Dict]:
+    keys = jax.random.split(rng, 2)
+    frozen = ts.params
+
+    def loss_fn(trainable):
+        params = frozen._replace(vid_generator=trainable["vid"])
+        if "img" in trainable:
+            params = params._replace(img_generator=trainable["img"])
+        fake_acts, g_out, vid_gs = _fake_activations(
+            params, ts.state, z, cfg, keys)
+        logits_fake, _ = vid_dcgan.vid_discriminator(
+            params.vid_discriminator, ts.state.vid_discriminator, fake_acts,
+            cfg, train=True)
+        realism = nn.sigmoid_ce(logits_fake, jnp.ones_like(logits_fake))
+        ff = (cfg.first_frame_loss_scalar *
+              vid_dcgan.first_frame_loss(g_out, z, cfg))
+        return realism + ff, (realism, ff, vid_gs)
+
+    trainable = _g_trainable(ts.params, tcfg)
+    (g_loss, (realism, ff, vid_gs)), grads = (
+        jax.value_and_grad(loss_fn, has_aux=True)(trainable))
+    updates, opt_g = opt.update(grads, ts.opt_g, trainable)
+    new_trainable = optax.apply_updates(trainable, updates)
+
+    params = ts.params._replace(vid_generator=new_trainable["vid"])
+    if "img" in new_trainable:
+        params = params._replace(img_generator=new_trainable["img"])
+    ts = ts._replace(params=params,
+                     state=ts.state._replace(vid_generator=vid_gs),
+                     opt_g=opt_g)
+    return ts, {"g_loss": g_loss, "g_loss_realism": realism,
+                "first_frame_loss": ff}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tcfg"), donate_argnums=(0,))
+def train_step(ts: VidTrainState, frames: Array, z: Array, rng,
+               cfg: VidGANConfig, tcfg: TrainConfig,
+               ) -> Tuple[VidTrainState, Dict]:
+    """One batch: `disc_updates` D + `gen_updates` G updates, one XLA program.
+
+    `frames` is time-folded (B*T, s, s, c) — the layout the whole stack
+    standardizes on so frames shard over the mesh data axis like batch.
+    """
+    opt = make_optimizer(tcfg)
+    metrics = {"images_std": nn.get_std(frames.reshape(frames.shape[0], -1))}
+    keys = jax.random.split(rng, tcfg.disc_updates + tcfg.gen_updates)
+    for i in range(tcfg.disc_updates):
+        ts, m = _d_step(ts, frames, z, keys[i], cfg, tcfg, opt)
+        metrics.update(m)
+    for i in range(tcfg.gen_updates):
+        ts, m = _g_step(ts, z, keys[tcfg.disc_updates + i], cfg, tcfg, opt)
+        metrics.update(m)
+    ts = ts._replace(step=ts.step + 1)
+    return ts, metrics
+
+
+def load_image_gan(ts: VidTrainState, ckpt_dir: str, step=None) -> VidTrainState:
+    """Graft a standalone image-GAN checkpoint (saved as {"params": DCGANParams,
+    "state": DCGANState}) into the nested image subtrees — the reference's
+    `load_image_gan` scope surgery (z_model_lib.py:117-134), as plain pytree
+    grafting."""
+    from gifgan_tpu.core import checkpoint as ckpt_lib
+
+    tree = ts._asdict()
+    for sub, pref in (
+        ("params/img_generator", "params/generator/"),
+        ("params/img_discriminator", "params/discriminator/"),
+        ("state/img_generator", "state/generator/"),
+        ("state/img_discriminator", "state/discriminator/"),
+    ):
+        tree = ckpt_lib.graft(ckpt_dir, tree, sub, ckpt_prefix=pref, step=step)
+    return VidTrainState(**tree)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def sample_videos(ts: VidTrainState, z: Array, cfg: VidGANConfig) -> Array:
+    """Inference sampler (reference dump_sample, z_model_lib.py:261-330):
+    both generators in inference mode. Returns (B, T, s, s, c) in [-1, 1]."""
+    g_out, _ = vid_dcgan.vid_generator(
+        ts.params.vid_generator, ts.state.vid_generator, z, cfg, train=False)
+    frames, _ = dcgan.generator(
+        ts.params.img_generator, ts.state.img_generator, g_out,
+        cfg.image_gan, train=False)
+    s = cfg.image_gan.output_size
+    return frames.reshape(z.shape[0], cfg.vid_length, s, s,
+                          cfg.image_gan.c_dim)

@@ -1,0 +1,38 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX initializes.
+
+Kernel/numerics tests run on CPU; sharding tests exercise pjit over the
+8-device mesh (SURVEY.md §4's test strategy for the TPU build). Bench runs
+separately on the real chip.
+
+Note: this image's sitecustomize registers the axon TPU PJRT plugin at
+interpreter startup and overrides jax_platforms, so we must update the jax
+config (not just the env var) before any backend initializes.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+assert jax.devices()[0].platform == "cpu"
+assert len(jax.devices()) == 8, jax.devices()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)

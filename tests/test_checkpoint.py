@@ -1,0 +1,95 @@
+"""Checkpoint surgery tests — the reference's three surgical restore
+patterns (SURVEY.md §5.4) as pytree operations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gifgan_tpu.core import checkpoint as ckpt
+from gifgan_tpu.core.config import DCGANConfig, TrainConfig, VidGANConfig
+from gifgan_tpu.models import dcgan
+from gifgan_tpu.train import gan, vid as vid_train
+
+CFG = DCGANConfig(output_size=32, c_dim=1, z_dim=12, gf_dim=8, df_dim=8)
+
+
+def _tree_equal(a, b):
+    return all(
+        np.array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(jax.tree_util.tree_leaves(a),
+                        jax.tree_util.tree_leaves(b)))
+
+
+def test_save_restore_roundtrip(tmp_path, key):
+    params, state = dcgan.init(key, CFG)
+    tree = {"params": params, "state": state}
+    ckpt.save(str(tmp_path), 42, tree)
+    assert ckpt.latest_step(str(tmp_path)) == 42
+    fresh_params, fresh_state = dcgan.init(jax.random.PRNGKey(9), CFG)
+    restored = ckpt.restore(str(tmp_path), {"params": fresh_params,
+                                            "state": fresh_state})
+    assert _tree_equal(restored["params"], params)
+    assert _tree_equal(restored["state"], state)
+
+
+def test_restore_excluding_latent(tmp_path, key):
+    """Pattern (a): restore all params EXCEPT z — the inversion setup
+    (discriminator_activation_optimizer.py:78)."""
+    params, _ = dcgan.init(key, CFG)
+    z = jnp.ones((4, 12))
+    ckpt.save(str(tmp_path), 0, {"model": params, "z": z})
+    fresh, _ = dcgan.init(jax.random.PRNGKey(5), CFG)
+    my_z = jnp.full((4, 12), 7.0)
+    restored = ckpt.restore(str(tmp_path), {"model": fresh, "z": my_z},
+                            exclude=("z",))
+    assert _tree_equal(restored["model"], params)
+    np.testing.assert_array_equal(np.asarray(restored["z"]),
+                                  np.asarray(my_z))
+
+
+def test_graft_image_gan_into_vid_gan(tmp_path, key):
+    """Pattern (b): load a standalone image-GAN checkpoint into the nested
+    subtree of the video GAN (z_model_lib.py:117-134 load_image_gan)."""
+    img_params, img_state = dcgan.init(key, CFG)
+    tcfg = TrainConfig(batch_size=2)
+    img_ts = gan.init_train_state(key, CFG, tcfg)
+    img_ts = img_ts._replace(params=img_params, state=img_state)
+    ckpt.save(str(tmp_path), 100, {"params": img_ts.params,
+                                   "state": img_ts.state})
+
+    vcfg = VidGANConfig(z_input_size=16, z_output_size=12, vid_length=4,
+                        hidden_dim=32, d_filters=16, image_gan=CFG)
+    vid_ts = vid_train.init_train_state(jax.random.PRNGKey(3), vcfg, tcfg)
+    grafted = vid_train.load_image_gan(vid_ts, str(tmp_path), step=100)
+    assert _tree_equal(grafted.params.img_generator, img_params.generator)
+    assert _tree_equal(grafted.params.img_discriminator,
+                       img_params.discriminator)
+    assert _tree_equal(grafted.state.img_generator, img_state.generator)
+    # video nets untouched
+    assert _tree_equal(grafted.params.vid_generator,
+                       vid_ts.params.vid_generator)
+
+
+def test_max_to_keep_gc(tmp_path, key):
+    tree = {"x": jnp.zeros((2,))}
+    for s in range(5):
+        ckpt.save(str(tmp_path), s, tree, max_to_keep=3)
+    assert ckpt.all_steps(str(tmp_path)) == [2, 3, 4]
+
+
+def test_optimizer_reset_pattern(key):
+    """Pattern (c): optimizer-state reset is just re-init (vs the reference's
+    scoped re-initialize of optimizer slot variables, z_model_lib.py:180-185)."""
+    tcfg = TrainConfig(batch_size=2)
+    ts = gan.init_train_state(key, CFG, tcfg)
+    images = jnp.zeros((2, 32, 32, 1))
+    z = jnp.zeros((2, 12))
+    ts, _ = gan.train_step(ts, images, z, key, CFG, tcfg)
+    opt = gan.make_optimizer(tcfg)
+    ts_reset = ts._replace(opt_g=opt.init(ts.params.generator),
+                           opt_d=opt.init(ts.params.discriminator))
+    # Adam mu should be zeros after reset, nonzero before
+    mu_before = jax.tree_util.tree_leaves(ts.opt_g)[0]
+    mu_after = jax.tree_util.tree_leaves(ts_reset.opt_g)[0]
+    assert float(jnp.sum(jnp.abs(mu_before))) > 0
+    assert float(jnp.sum(jnp.abs(mu_after))) == 0
