@@ -45,6 +45,8 @@ def make_sharded_step(step_fn: Callable, mesh: Mesh, *, static_args: dict,
     step_fn signature: (ts, *arrays, rng, **static_args) -> (ts, metrics).
     """
     rep = replicated_sharding(mesh)
+    # unwrap an already-jitted step so we re-jit with explicit shardings
+    step_fn = getattr(step_fn, "__wrapped__", step_fn)
 
     def bound(ts, *args):
         *arrays, rng = args
