@@ -1,0 +1,175 @@
+"""Host-side video/GIF IO.
+
+Decode stays on host (the TPU can't read mp4); the design splits IO from
+compute: decode workers produce fixed-shape uint8 clip arrays, the
+resize+normalize hot transform runs on-device (gifgan_tpu.kernels.resize),
+and batches stream to HBM double-buffered (gifgan_tpu.data.loader) — versus
+the reference which decodes with cv2 inline in the train loop
+(z_model_lib.py:332-351), its dominant stall.
+
+Encode (sample mp4s / GIF walls) also stays host-side, with the reference's
+atomic tmp-file rename for the continuous sampler (model_sampler.py:74-80).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+try:
+    import cv2
+    HAVE_CV2 = True
+except Exception:  # pragma: no cover
+    HAVE_CV2 = False
+
+try:
+    import imageio.v2 as imageio
+    HAVE_IMAGEIO = True
+except Exception:  # pragma: no cover
+    HAVE_IMAGEIO = False
+
+
+class ClipTooShortError(ValueError):
+    pass
+
+
+def decode_clip(path: str, length: int, size: int,
+                strict: bool = True) -> np.ndarray:
+    """Decode the first `length` frames of a video, resized to (size, size),
+    RGB uint8: (length, size, size, 3).
+
+    strict=True raises ClipTooShortError on short clips (the reference
+    asserts, z_model_lib.py:350); strict=False pads by repeating the last
+    frame (z_space_finder-style tolerance, z_space_finder.py:69-86).
+    """
+    if not HAVE_CV2:
+        raise RuntimeError("cv2 unavailable: no mp4 decode on this host")
+    cap = cv2.VideoCapture(path)
+    frames = []
+    while cap.isOpened() and len(frames) < length:
+        ret, im = cap.read()
+        if not ret:
+            break
+        im = cv2.resize(im, (size, size), interpolation=cv2.INTER_LINEAR)
+        frames.append(cv2.cvtColor(im, cv2.COLOR_BGR2RGB))
+    cap.release()
+    if len(frames) < length:
+        if strict or not frames:
+            raise ClipTooShortError(
+                f"{path}: {len(frames)} frames < {length}")
+        frames.extend([frames[-1]] * (length - len(frames)))
+    return np.stack(frames[:length])
+
+
+def decode_clip_batch(paths: Sequence[str], length: int, size: int,
+                      strict: bool = True) -> np.ndarray:
+    """(N, length, size, size, 3) uint8."""
+    return np.stack([decode_clip(p, length, size, strict) for p in paths])
+
+
+def encode_mp4(path: str, frames: np.ndarray, fps: float = 25.0) -> None:
+    """frames: (T, H, W, 3) uint8 RGB -> mp4 (fourcc mp4v, like the
+    reference's 0x20 writer, z_model_lib.py:292-295)."""
+    if not HAVE_CV2:
+        raise RuntimeError("cv2 unavailable: no mp4 encode on this host")
+    t, h, w = frames.shape[:3]
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                             (w, h))
+    for f in frames:
+        writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    writer.release()
+
+
+def write_gif(path: str, frames: np.ndarray, fps: float = 8.0,
+              atomic: bool = True) -> None:
+    """frames: (T, H, W, 3) uint8 RGB -> GIF, atomically (tmp+rename,
+    model_sampler.py:74-80)."""
+    if not HAVE_IMAGEIO:
+        raise RuntimeError("imageio unavailable: no GIF encode on this host")
+    tmp = path + ".tmp.gif" if atomic else path
+    imageio.mimwrite(tmp, list(frames), format="GIF",
+                     duration=1000.0 / fps, loop=0)
+    if atomic:
+        os.replace(tmp, path)
+
+
+def read_gif(path: str, size: Optional[int] = None) -> np.ndarray:
+    """(T, H, W, 3) uint8 RGB."""
+    if not HAVE_IMAGEIO:
+        raise RuntimeError("imageio unavailable")
+    frames = [np.asarray(f)[..., :3] for f in imageio.mimread(path)]
+    if size is not None and HAVE_CV2:
+        frames = [cv2.resize(f, (size, size),
+                             interpolation=cv2.INTER_LINEAR) for f in frames]
+    return np.stack(frames)
+
+
+def sample_frames_from_video(path: str, n: int, size: int,
+                             rng: np.random.Generator) -> List[np.ndarray]:
+    """Randomly sample n frames (by index) resized to (size, size) — the
+    image-DCGAN training-set builder (reference sample_frames.py:19-37)."""
+    if not HAVE_CV2:
+        raise RuntimeError("cv2 unavailable")
+    cap = cv2.VideoCapture(path)
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    if total <= 0:
+        cap.release()
+        return []
+    idxs = sorted(rng.choice(total, size=min(n, total), replace=False))
+    out = []
+    pos = 0
+    want = set(int(i) for i in idxs)
+    while cap.isOpened() and pos <= max(want):
+        ret, im = cap.read()
+        if not ret:
+            break
+        if pos in want:
+            im = cv2.resize(im, (size, size), interpolation=cv2.INTER_LINEAR)
+            out.append(cv2.cvtColor(im, cv2.COLOR_BGR2RGB))
+        pos += 1
+    cap.release()
+    return out
+
+
+def bulk_resize(in_dir: str, out_dir: str, width: int, length: int,
+                pattern: str = ".mp4") -> dict:
+    """Re-encode every video in a dir to width x width and exactly `length`
+    frames, skipping short clips (reference bulk_resize.py:38-64). Returns
+    counts."""
+    os.makedirs(out_dir, exist_ok=True)
+    stats = {"written": 0, "skipped_short": 0, "errors": 0}
+    for name in sorted(os.listdir(in_dir)):
+        if not name.endswith(pattern):
+            continue
+        try:
+            clip = decode_clip(os.path.join(in_dir, name), length, width,
+                               strict=True)
+        except ClipTooShortError:
+            stats["skipped_short"] += 1
+            continue
+        except Exception:
+            stats["errors"] += 1
+            continue
+        encode_mp4(os.path.join(out_dir, name), clip)
+        stats["written"] += 1
+    return stats
+
+
+def video_to_gif(in_path: str, out_path: str, fps: float = 8.0) -> None:
+    """avi/mp4 -> GIF (reference avi_2_gif.py:44-50)."""
+    clip = None
+    if HAVE_CV2:
+        cap = cv2.VideoCapture(in_path)
+        frames = []
+        while cap.isOpened():
+            ret, im = cap.read()
+            if not ret:
+                break
+            frames.append(cv2.cvtColor(im, cv2.COLOR_BGR2RGB))
+        cap.release()
+        clip = np.stack(frames) if frames else None
+    if clip is None:
+        raise RuntimeError(f"could not decode {in_path}")
+    write_gif(out_path, clip, fps=fps)

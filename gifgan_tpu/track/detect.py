@@ -1,0 +1,146 @@
+"""Face detection backends + face ranking / similarity.
+
+Detection (reference: data_collection/track_faces.py:240-262, facedetect.py):
+the Haar cascade itself is branchy, early-exit, data-dependent work that the
+host does well (OpenCV C++); the TPU-friendly parts — sharpness ranking
+(Laplacian energy), centrality/size scoring, and MSSIM face similarity
+(facedetect.py:94-149) — are implemented in JAX as batched convolutions.
+
+Backends:
+  - CV2HaarDetector: OpenCV cascade with the reference's size-bound logic
+    (min fixed, max a factor of sqrt(frame area); track_faces.py:257-262).
+  - CallableDetector: inject any (frame -> rects) function (testing, or a
+    future Pallas cascade kernel).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import math
+import numpy as np
+
+from gifgan_tpu.track.boxes import Detection
+
+try:
+    import cv2
+    _HAVE_CV2 = True
+except Exception:  # pragma: no cover
+    _HAVE_CV2 = False
+
+
+class CV2HaarDetector:
+    """Haar-cascade detection with reference-matching size bounds."""
+
+    def __init__(self, cascade_path: Optional[str] = None,
+                 scale_factor: float = 1.1, min_neighbors: int = 5,
+                 min_size: int = 50, max_size_factor: float = 1.0):
+        if not _HAVE_CV2:
+            raise RuntimeError("cv2 unavailable")
+        if cascade_path is None:
+            cascade_path = (cv2.data.haarcascades +
+                            "haarcascade_frontalface_alt2.xml")
+        self.cc = cv2.CascadeClassifier(cascade_path)
+        if self.cc.empty():
+            raise RuntimeError(f"failed to load cascade {cascade_path}")
+        self.scale_factor = scale_factor
+        self.min_neighbors = min_neighbors
+        self.min_size = min_size
+        self.max_size_factor = max_size_factor
+
+    def __call__(self, frame: np.ndarray, frame_number: int = 0,
+                 ) -> List[Detection]:
+        side = math.sqrt(frame.shape[0] * frame.shape[1])
+        minlen = self.min_size
+        maxlen = int(side * self.max_size_factor)
+        rects = self.cc.detectMultiScale(
+            frame, self.scale_factor, self.min_neighbors, 0,
+            (minlen, minlen), (maxlen, maxlen))
+        return [Detection.from_rect(r, frame_number) for r in rects]
+
+
+class CallableDetector:
+    """Wrap a (frame, frame_number) -> list[rect(x,y,w,h)] function."""
+
+    def __init__(self, fn: Callable):
+        self.fn = fn
+
+    def __call__(self, frame, frame_number: int = 0) -> List[Detection]:
+        return [Detection.from_rect(r, frame_number)
+                for r in self.fn(frame, frame_number)]
+
+
+# ---------------------------------------------------------------------------
+# JAX face ranking (reference facedetect.py:94-125): weighted sharpness /
+# centrality / size with weights 0.7 / 0.1 / 0.2
+# ---------------------------------------------------------------------------
+
+def _to_gray(images):
+    import jax.numpy as jnp
+
+    if images.ndim == 4 and images.shape[-1] == 3:
+        w = jnp.array([0.299, 0.587, 0.114], jnp.float32)
+        return jnp.tensordot(images.astype(jnp.float32), w, axes=1)
+    return images.astype(jnp.float32).squeeze(-1) if images.ndim == 4 else images
+
+
+def sharpness(images) -> "jax.Array":
+    """Mean |Laplacian| per image (batched 3x3 conv on device) — the
+    reference's focus measure (facedetect.py:105-111)."""
+    import jax
+    import jax.numpy as jnp
+
+    gray = _to_gray(images)[..., None]
+    kernel = jnp.array([[0., 1., 0.], [1., -4., 1.], [0., 1., 0.]],
+                       jnp.float32).reshape(3, 3, 1, 1)
+    lap = jax.lax.conv_general_dilated(
+        gray, kernel, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return jnp.mean(jnp.abs(lap), axis=(1, 2, 3))
+
+
+def rank_faces(images, boxes: np.ndarray, frame_shape,
+               w_sharp: float = 0.7, w_central: float = 0.1,
+               w_size: float = 0.2) -> np.ndarray:
+    """Scores for candidate face crops: normalized sharpness + centrality +
+    size (facedetect.py:94-125). images: (N, h, w, c) crops resized to a
+    common size; boxes: (N, 4) x1y1x2y2 in the original frame."""
+    import jax.numpy as jnp
+
+    s = sharpness(images)
+    s = s / (jnp.max(s) + 1e-8)
+
+    fh, fw = frame_shape[:2]
+    cx = (boxes[:, 0] + boxes[:, 2]) / 2.0 / fw - 0.5
+    cy = (boxes[:, 1] + boxes[:, 3]) / 2.0 / fh - 0.5
+    centrality = 1.0 - np.sqrt(cx ** 2 + cy ** 2) / np.sqrt(0.5)
+    area = ((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+            ).astype(np.float64)
+    size = area / (area.max() + 1e-8)
+
+    return (w_sharp * np.asarray(s) + w_central * centrality + w_size * size)
+
+
+def mssim(a, b, window: int = 8) -> "jax.Array":
+    """Mean structural similarity between two batches of same-size gray
+    images — the face-similarity search metric (facedetect.py:128-149) as
+    batched average-pool convolutions on device."""
+    import jax
+    import jax.numpy as jnp
+
+    C1, C2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    ga = _to_gray(a)[..., None]
+    gb = _to_gray(b)[..., None]
+    k = jnp.ones((window, window, 1, 1), jnp.float32) / (window * window)
+
+    def pool(x):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    mu_a, mu_b = pool(ga), pool(gb)
+    var_a = pool(ga * ga) - mu_a * mu_a
+    var_b = pool(gb * gb) - mu_b * mu_b
+    cov = pool(ga * gb) - mu_a * mu_b
+    ssim_map = (((2 * mu_a * mu_b + C1) * (2 * cov + C2)) /
+                ((mu_a * mu_a + mu_b * mu_b + C1) * (var_a + var_b + C2)))
+    return jnp.mean(ssim_map, axis=(1, 2, 3))

@@ -1,0 +1,159 @@
+"""Data subsystem tests: synthetic clips, video/GIF IO roundtrips, prefetch
+loader, scraper logic with stubbed HTTP."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gifgan_tpu.data import scrape, synthetic
+from gifgan_tpu.data.loader import PrefetchLoader, batches_from_array
+
+
+def test_synthetic_clips_deterministic():
+    a = synthetic.synthetic_clips(2, length=4, size=32, seed=7)
+    b = synthetic.synthetic_clips(2, length=4, size=32, seed=7)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (2, 4, 32, 32, 3) and a.dtype == np.uint8
+    # frames actually move
+    assert np.abs(a[0, 0].astype(int) - a[0, 3].astype(int)).max() > 10
+
+
+def test_synthetic_stills():
+    s = synthetic.synthetic_stills(5, size=16)
+    assert s.shape == (5, 16, 16, 3)
+
+
+def test_mp4_roundtrip(tmp_path):
+    from gifgan_tpu.data import video
+
+    if not video.HAVE_CV2:
+        pytest.skip("no cv2")
+    clip = synthetic.synthetic_clip(0, length=8, size=64)
+    path = str(tmp_path / "clip.mp4")
+    video.encode_mp4(path, clip)
+    assert os.path.exists(path)
+    decoded = video.decode_clip(path, 8, 64)
+    assert decoded.shape == (8, 64, 64, 3)
+    # lossy codec: just check gross similarity
+    assert np.abs(decoded.astype(int) - clip.astype(int)).mean() < 30
+
+    with pytest.raises(video.ClipTooShortError):
+        video.decode_clip(path, 99, 64, strict=True)
+    padded = video.decode_clip(path, 12, 64, strict=False)
+    assert padded.shape == (12, 64, 64, 3)
+    np.testing.assert_array_equal(padded[8], padded[11])
+
+
+def test_gif_roundtrip(tmp_path):
+    from gifgan_tpu.data import video
+
+    if not video.HAVE_IMAGEIO:
+        pytest.skip("no imageio")
+    clip = synthetic.synthetic_clip(1, length=5, size=32)
+    path = str(tmp_path / "x.gif")
+    video.write_gif(path, clip, fps=10)
+    assert os.path.exists(path) and not os.path.exists(path + ".tmp.gif")
+    back = video.read_gif(path)
+    assert back.shape[0] == 5 and back.shape[3] == 3
+
+
+def test_sample_frames_from_video(tmp_path):
+    from gifgan_tpu.data import video
+
+    if not video.HAVE_CV2:
+        pytest.skip("no cv2")
+    clip = synthetic.synthetic_clip(2, length=20, size=48)
+    path = str(tmp_path / "clip.mp4")
+    video.encode_mp4(path, clip)
+    frames = video.sample_frames_from_video(path, 5, 32,
+                                            np.random.default_rng(0))
+    assert len(frames) == 5
+    assert frames[0].shape == (32, 32, 3)
+
+
+def test_bulk_resize(tmp_path):
+    from gifgan_tpu.data import video
+
+    if not video.HAVE_CV2:
+        pytest.skip("no cv2")
+    ind, outd = tmp_path / "in", tmp_path / "out"
+    ind.mkdir()
+    video.encode_mp4(str(ind / "long.mp4"),
+                     synthetic.synthetic_clip(0, 16, 64))
+    video.encode_mp4(str(ind / "short.mp4"),
+                     synthetic.synthetic_clip(1, 4, 64))
+    stats = video.bulk_resize(str(ind), str(outd), width=32, length=10)
+    assert stats == {"written": 1, "skipped_short": 1, "errors": 0}
+    out = video.decode_clip(str(outd / "long.mp4"), 10, 32)
+    assert out.shape == (10, 32, 32, 3)
+
+
+def test_prefetch_loader_orders_and_propagates_errors():
+    data = np.arange(40).reshape(10, 4)
+    batches = list(PrefetchLoader(batches_from_array(
+        data, batch_size=3, shuffle=False)))
+    assert len(batches) == 3  # drop remainder
+    np.testing.assert_array_equal(batches[0], data[:3])
+
+    def bad_iter():
+        yield data[:3]
+        raise RuntimeError("decode exploded")
+
+    loader = PrefetchLoader(bad_iter())
+    next(loader)
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        next(loader)
+
+
+def test_scraper_keyword_parse_and_dedup(tmp_path):
+    text = "tried1\ntried2\n# keywords not tried yet\nface\n\nsmile\n"
+    assert scrape.parse_keywords(text) == ["face", "smile"]
+
+    payload = ('{"data":[{"images":{"original":{'
+               '"mp4":"https:\\/\\/media.giphy.com\\/media\\/abc123\\/giphy.mp4"}}},'
+               '{"images":{"original":{'
+               '"mp4":"https:\\/\\/media.giphy.com\\/media\\/def456\\/giphy.mp4"}}}]}')
+    urls = scrape.extract_mp4_urls(payload)
+    assert len(urls) == 2
+    assert scrape.media_id(urls[0]) == "abc123"
+
+    calls = []
+
+    def fetch(url):
+        calls.append(url)
+        if "api.giphy" in url or "search" in url:
+            return payload.encode()
+        return b"FAKE_MP4_BYTES"
+
+    s = scrape.Scraper(str(tmp_path), fetch, num_threads=2,
+                       items_per_thread=100)
+    stats = s.scrape(["face"])
+    assert stats.per_keyword["face"] == 2  # deduped across threads/pages
+    files = sorted(os.listdir(tmp_path / "face"))
+    assert files == ["abc123.mp4", "def456.mp4"]
+
+    # second scraper instance seeds dedup from disk -> nothing new
+    s2 = scrape.Scraper(str(tmp_path), fetch, num_threads=1,
+                        items_per_thread=100)
+    stats2 = s2.scrape(["face"])
+    assert stats2.new_total == 0
+
+
+def test_scraper_duplicate_on_disk_raises(tmp_path):
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    (tmp_path / "a" / "x1.mp4").write_bytes(b"")
+    (tmp_path / "b" / "x1.mp4").write_bytes(b"")
+    with pytest.raises(RuntimeError, match="duplicate"):
+        scrape.scan_existing(str(tmp_path))
+
+
+def test_scraper_failure_cutoff(tmp_path):
+    def always_fail(url):
+        raise IOError("net down")
+
+    s = scrape.Scraper(str(tmp_path), always_fail, num_threads=1,
+                       items_per_thread=10000, max_consecutive_failures=3)
+    stats = s.scrape(["x"])
+    assert stats.errors == 3 and stats.new_total == 0
