@@ -1,0 +1,219 @@
+"""Webcam face-animation demo as an HTTP service.
+
+The reference ships the captured face to a GPU box over scp, runs the
+inversion script over ssh, and copies results back
+(demo/webcam_client.py:229-247 + demo/run_webcam_demo). TPU-native, that
+machine boundary becomes a plain HTTP service in front of compiled
+inversion/sampler programs (SURVEY.md §5.8):
+
+  POST /animate  (PNG body)  ->  JSON { reconstruction, progress_video,
+                                        paths: {name: mp4 path} }
+
+Server pipeline per request (run_webcam_demo:16-43 semantics): resize the
+face to model resolution, optimize z for `steps` Adam steps against
+pixel-L1 (1.0) + D-activation-L1 (0.3) losses, write the reconstruction, a
+progress video over the capture-section schedule [(0,1),(50,5),(100,30)],
+and one animation mp4 per expression path applied as deltas from the
+recovered z.
+
+Client-side face capture (webcam_client.py:36-127) — Haar box + the same
+aspect-expansion math as the track pipeline — is `capture_face`, taking any
+frame source so tests can inject frames instead of a camera.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import threading
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+
+DEFAULT_SECTIONS = [(0, 1), (50, 5), (100, 30)]
+
+
+class WebcamBackend:
+    """Owns the frozen DCGAN and serves inversion+animation requests."""
+
+    def __init__(self, params, state, cfg, out_dir: str,
+                 paths: Optional[Dict[str, np.ndarray]] = None,
+                 steps: int = 1200, pixel_l1: float = 1.0,
+                 activation_l1: float = 0.3, learning_rate: float = 0.05,
+                 lr_decay_every: int = 1000, batch_size: int = 16,
+                 fps: float = 10.0):
+        from gifgan_tpu.core.config import InvertConfig
+
+        self.params, self.state, self.cfg = params, state, cfg
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.paths = paths or {}
+        self.icfg = InvertConfig(
+            steps=steps, learning_rate=learning_rate,
+            lr_decay_every=lr_decay_every, pixel_l1=pixel_l1,
+            activation_l1=activation_l1, batch_size=batch_size)
+        self.fps = fps
+        self._req = 0
+        self._lock = threading.Lock()
+
+    def animate(self, face_u8: np.ndarray,
+                sections=None) -> Dict:
+        """face_u8: (s, s, 3) uint8 RGB at model resolution. Returns paths of
+        written artifacts."""
+        import imageio.v2 as imageio
+
+        from gifgan_tpu.data.video import encode_mp4
+        from gifgan_tpu.invert import apply_latent_path, invert_images
+        from gifgan_tpu.models import dcgan
+        from gifgan_tpu.ops.image import inverse_transform, merge_grid, to_uint8
+
+        with self._lock:
+            req = self._req
+            self._req += 1
+        req_dir = os.path.join(self.out_dir, f"req_{req}")
+        os.makedirs(req_dir, exist_ok=True)
+
+        target = (face_u8.astype(np.float32) / 127.5 - 1.0)
+        targets = np.tile(target, (self.icfg.batch_size, 1, 1, 1))
+        z, losses, frames = invert_images(
+            self.params, self.state, targets, self.cfg, self.icfg,
+            progress_sections=sections or DEFAULT_SECTIONS)
+
+        recon = np.asarray(frames[-1][0]) if frames else np.asarray(
+            dcgan.sample(self.params, self.state, z, self.cfg)[0])
+        recon_u8 = np.clip(np.round((recon + 1) * 127.5), 0, 255).astype(np.uint8)
+        recon_path = os.path.join(req_dir, "reconstruction.png")
+        imageio.imwrite(recon_path, recon_u8)
+
+        progress_path = None
+        if frames:
+            rows = int(np.sqrt(self.icfg.batch_size))
+            grid_frames = np.stack([
+                np.asarray(to_uint8(inverse_transform(
+                    merge_grid(f, rows, self.icfg.batch_size // rows))))
+                for f in frames])
+            progress_path = os.path.join(req_dir, "progress.mp4")
+            encode_mp4(progress_path, grid_frames, fps=self.fps)
+
+        path_files = {}
+        for name, path_zs in self.paths.items():
+            vid = np.asarray(apply_latent_path(
+                self.params, self.state, z[:1], path_zs, self.cfg))[:, 0]
+            u8 = np.clip(np.round((vid + 1) * 127.5), 0, 255).astype(np.uint8)
+            out = os.path.join(req_dir, f"path_{name}.mp4")
+            encode_mp4(out, u8, fps=self.fps)
+            path_files[name] = out
+
+        return {
+            "reconstruction": recon_path,
+            "progress_video": progress_path,
+            "paths": path_files,
+            "final_loss": float(losses[-1]) if len(losses) else None,
+        }
+
+
+def load_latent_paths(path_dir: str, z_dim: int) -> Dict[str, np.ndarray]:
+    """Load expression paths: .npy arrays or repr'd-array .txt files
+    (reference manual_paths/*.txt protocol, …optimizer.py:104-118)."""
+    out = {}
+    for name in sorted(os.listdir(path_dir)):
+        full = os.path.join(path_dir, name)
+        stem, ext = os.path.splitext(name)
+        if ext == ".npy":
+            arr = np.load(full)
+        elif ext == ".txt":
+            from numpy import array  # noqa: F401
+
+            with open(full) as f:
+                arr = np.asarray(eval(f.read()))
+        else:
+            continue
+        arr = np.asarray(arr, np.float32).reshape(-1, z_dim)
+        out[stem] = arr
+    return out
+
+
+def capture_face(frame_source, detector, expand_factor: float = 1.0,
+                 target_size: int = 64, max_frames: int = 10000):
+    """Client-side capture loop logic (webcam_client.py:36-127), camera-free:
+    `frame_source` yields (frame_rgb, accept: bool); the first accepted frame
+    with a detection is aspect-expanded (same math as the track pipeline) and
+    resized to the model resolution. Returns (face_u8, box) or (None, None)."""
+    from gifgan_tpu.track.boxes import expand_bounding_boxes
+
+    for i, (frame, accept) in enumerate(frame_source):
+        if i >= max_frames:
+            break
+        dets = detector(frame, i)
+        if not dets or not accept:
+            continue
+        d = max(dets, key=lambda d: d.width * d.height)
+        expanded, _ = expand_bounding_boxes(
+            [[d]], (frame.shape[1], frame.shape[0]),
+            target_size, target_size, scaling_factor=expand_factor)
+        if not expanded:
+            continue
+        e = expanded[0][0]
+        crop = frame[e.y1:e.y2 + 1, e.x1:e.x2 + 1]
+        import jax
+        import jax.numpy as jnp
+
+        face = jax.image.resize(
+            jnp.asarray(crop, jnp.float32),
+            (target_size, target_size, crop.shape[-1]), method="linear")
+        return np.clip(np.asarray(face), 0, 255).astype(np.uint8), e
+    return None, None
+
+
+def serve(backend: WebcamBackend, host: str = "127.0.0.1", port: int = 8081,
+          background: bool = False):
+    """POST /animate with a PNG body; GET /health."""
+    import imageio.v2 as imageio
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                return self._json({"status": "ok"})
+            self._json({"response": "error", "msg": "POST /animate"}, 404)
+
+        def do_POST(self):
+            if self.path != "/animate":
+                return self._json({"response": "error"}, 404)
+            n = int(self.headers.get("Content-Length") or 0)
+            data = self.rfile.read(n)
+            try:
+                img = imageio.imread(io.BytesIO(data))[..., :3]
+                if img.shape[:2] != (backend.cfg.output_size,) * 2:
+                    import jax
+                    import jax.numpy as jnp
+
+                    img = np.clip(np.asarray(jax.image.resize(
+                        jnp.asarray(img, jnp.float32),
+                        (backend.cfg.output_size, backend.cfg.output_size, 3),
+                        method="linear")), 0, 255).astype(np.uint8)
+                result = backend.animate(img)
+                self._json({"response": "success", **result})
+            except Exception as e:
+                self._json({"response": "error",
+                            "msg": f"{type(e).__name__}: {e}"}, 500)
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    if background:
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        return server
+    server.serve_forever()

@@ -1,0 +1,185 @@
+"""Serve-layer tests: explorer core + live HTTP, GIF wall, z renderer,
+webcam backend, web export roundtrip."""
+
+import json
+import os
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gifgan_tpu.core.config import DCGANConfig
+from gifgan_tpu.models import dcgan
+from gifgan_tpu.serve.explorer import ExplorerCore, serve
+from gifgan_tpu.serve.sampler import gif_wall, render_z_trajectory
+from gifgan_tpu.serve.web_export import (generator_from_json,
+                                         generator_to_json)
+
+Z = 8
+
+
+def fake_sampler(z):
+    """Deterministic 'generator': paints the first z component as intensity."""
+    z = np.asarray(z)
+    img = np.tanh(z[:, 0])[:, None, None, None]
+    return np.tile(img, (1, 16, 16, 3)).astype(np.float32)
+
+
+@pytest.fixture
+def core(tmp_path):
+    return ExplorerCore(fake_sampler, Z, str(tmp_path / "media"),
+                        num_directions=3, num_steps=2, face_rows=2,
+                        face_cols=2, batch_size=4)
+
+
+def test_explorer_flow(core):
+    r = core.init_face(step_size=0.5)
+    assert r["response"] == "success"
+    assert len(core.video_zs) == 1
+    assert os.path.exists(os.path.join(core.media_dir, "img_0.png"))
+
+    core.init_directions(step_size=0.5)
+    assert core.direction_zs.shape == (3, 2, Z)
+    assert len(core.direction_paths) == 3
+
+    core.add_image(row=1, col=1, step_size=0.5)
+    # add_individually False after init_directions -> adds cols 0..1
+    assert len(core.video_zs) == 3
+
+    r = core.perp_faces(similarity=0.4)
+    assert r["response"] == "success"
+    # perpendicularity: <z - first, delta> == 0
+    delta = core.video_zs[-1] - core.video_zs[0]
+    offs = core.direction_zs - core.video_zs[0]
+    dots = np.tensordot(offs, delta, axes=([2], [0]))
+    np.testing.assert_allclose(dots, 0.0, atol=1e-6)
+
+    core.delete_image(index=0, step_size=0.5)
+    assert len(core.video_zs) == 2
+    core.clear_faces()
+    assert core.video_zs == []
+
+
+def test_explorer_perp_requires_two_faces(core):
+    r = core.perp_faces(similarity=0.5)
+    assert r["response"] == "error"
+
+
+def test_explorer_load_description_and_save(core, tmp_path):
+    zs = np.random.default_rng(0).uniform(-1, 1, (3, Z))
+    r = core.load_video_description(repr(zs))
+    assert r["response"] == "success" and len(core.video_zs) == 3
+    # relative load: deltas from path[0] applied to last z
+    r = core.load_video_description(repr(zs), relative=True)
+    assert len(core.video_zs) == 6
+    np.testing.assert_allclose(core.video_zs[3], core.video_zs[2], atol=1e-6)
+    try:
+        path = core.save(frame_rate=4.0)
+    except RuntimeError:
+        pytest.skip("no cv2 encoder")
+    assert os.path.exists(path)
+
+
+def test_explorer_http_server(core):
+    server = serve(core, port=0, background=True)
+    port = server.server_address[1]
+    try:
+        def call(route):
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{route}", timeout=10) as r:
+                return json.loads(r.read())
+
+        r = call("/init_face?step_size=0.5")
+        assert r["response"] == "success"
+        r = call("/random_faces")
+        assert r["response"] == "success"
+        assert len(r["msg"]["direction_paths"]) == 2
+        r = call("/test_success")
+        assert r["response"] == "success"
+        r = call("/test/3")
+        assert r["n"] == 3
+        # media serving
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/media/img_0.png", timeout=10) as m:
+            assert m.read()[:8] == b"\x89PNG\r\n\x1a\n"
+        # missing param -> clean 400 JSON
+        try:
+            call("/add_image")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+
+
+def fake_video_sampler(z):
+    z = np.asarray(z)
+    v = np.tanh(z[:, 0])[:, None, None, None, None]
+    return np.tile(v, (1, 4, 8, 8, 3)).astype(np.float32)
+
+
+def test_gif_wall(tmp_path):
+    pytest.importorskip("imageio")
+    n = gif_wall(fake_video_sampler, Z, str(tmp_path), batch_size=3,
+                 num_batches=2, seed=1)
+    assert n == 6
+    files = sorted(os.listdir(tmp_path))
+    assert files == [f"{i}.gif" for i in range(6)]
+    assert not any(f.endswith(".tmp.gif") for f in files)
+
+
+def test_render_z_trajectory(tmp_path):
+    pytest.importorskip("cv2")
+    zs = np.random.default_rng(0).uniform(-1, 1, (5, Z)).astype(np.float32)
+    zp = str(tmp_path / "traj.npy")
+    np.save(zp, zs)
+    out = render_z_trajectory(fake_sampler, zp, str(tmp_path / "out.mp4"),
+                              scale=2)
+    from gifgan_tpu.data.video import decode_clip
+
+    clip = decode_clip(out, 5, 32)
+    assert clip.shape == (5, 32, 32, 3)
+
+
+def test_web_export_roundtrip(key):
+    cfg = DCGANConfig(output_size=32, c_dim=1, z_dim=Z, gf_dim=8, df_dim=8)
+    params, state = dcgan.init_generator(key, cfg)
+    text = generator_to_json(params, state, cfg)
+    p2, s2, meta = generator_from_json(text)
+    assert meta["z_dim"] == Z
+    z = jax.random.uniform(key, (2, Z), minval=-1, maxval=1)
+    a, _ = dcgan.generator(params, state, z, cfg, train=False)
+    b, _ = dcgan.generator(p2, s2, z, cfg, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_webcam_backend(tmp_path, key):
+    pytest.importorskip("cv2")
+    from gifgan_tpu.serve.webcam import WebcamBackend, load_latent_paths
+
+    cfg = DCGANConfig(output_size=32, c_dim=3, z_dim=Z, gf_dim=8, df_dim=8)
+    params, state = dcgan.init(key, cfg)
+    boost = lambda t: jax.tree_util.tree_map(lambda x: x * 6.0, t)
+    params = dcgan.DCGANParams(boost(params.generator),
+                               boost(params.discriminator))
+
+    # expression paths: one .npy + one repr'd .txt
+    pdir = tmp_path / "paths"
+    pdir.mkdir()
+    path_zs = np.random.default_rng(0).uniform(-0.2, 0.2, (4, Z))
+    np.save(str(pdir / "smile.npy"), path_zs)
+    with open(pdir / "frown.txt", "w") as f:
+        f.write(repr([row for row in path_zs]))
+    paths = load_latent_paths(str(pdir), Z)
+    assert set(paths) == {"smile", "frown"}
+
+    backend = WebcamBackend(params, state, cfg, str(tmp_path / "out"),
+                            paths=paths, steps=20, batch_size=4)
+    face = np.random.default_rng(1).integers(0, 256, (32, 32, 3), np.uint8)
+    result = backend.animate(face)
+    assert os.path.exists(result["reconstruction"])
+    assert os.path.exists(result["progress_video"])
+    assert set(result["paths"]) == {"smile", "frown"}
+    assert all(os.path.exists(p) for p in result["paths"].values())
+    assert np.isfinite(result["final_loss"])
