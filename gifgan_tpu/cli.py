@@ -1,0 +1,424 @@
+"""Command-line interface: `python -m gifgan_tpu <command> ...`.
+
+One CLI replaces the reference's per-script entrypoints (main.py, z_model.py,
+track_faces.py, model_sampler.py, z_reader.py, explorer.py, giphy_scrape.py,
+discriminator_activation_optimizer*.py, z_space_finder.py, bulk_resize.py,
+avi_2_gif.py, sample_frames.py, stat_combination.py …). Every run serializes
+its config into the run directory (reference params.txt, track_faces.py:1073).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _mesh_arg(args):
+    if getattr(args, "data_parallel", 0) in (0, 1) and not getattr(
+            args, "mesh", False):
+        return None
+    from gifgan_tpu.core.mesh import make_mesh
+
+    return make_mesh(data_parallel=getattr(args, "data_parallel", 0))
+
+
+def _dcgan_cfg(args):
+    from gifgan_tpu.core.config import DCGANConfig
+
+    return DCGANConfig(output_size=args.output_size, c_dim=args.c_dim,
+                       z_dim=args.z_dim, gf_dim=args.gf_dim,
+                       df_dim=args.df_dim, noise_std=args.image_noise,
+                       compute_dtype=args.compute_dtype)
+
+
+def _train_cfg(args):
+    from gifgan_tpu.core.config import TrainConfig
+
+    return TrainConfig(
+        batch_size=args.batch_size, learning_rate=args.learning_rate,
+        beta1=args.beta1, disc_updates=args.disc_updates,
+        gen_updates=args.gen_updates, epochs=args.epochs,
+        sample_every=args.sample_every,
+        checkpoint_every=args.checkpoint_every,
+        max_checkpoints_to_keep=args.max_checkpoints_to_keep,
+        train_img_gen=getattr(args, "train_img_gen", False),
+        train_img_disc=getattr(args, "train_img_disc", False),
+        seed=args.seed, run_dir=args.run_dir)
+
+
+def _add_train_args(p, batch=64):
+    p.add_argument("--batch-size", type=int, default=batch)
+    p.add_argument("--learning-rate", type=float, default=2e-4)
+    p.add_argument("--beta1", type=float, default=0.5)
+    p.add_argument("--disc-updates", type=int, default=1)
+    p.add_argument("--gen-updates", type=int, default=2)
+    p.add_argument("--epochs", type=int, default=25)
+    p.add_argument("--sample-every", type=int, default=100)
+    p.add_argument("--checkpoint-every", type=int, default=500)
+    p.add_argument("--max-checkpoints-to-keep", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--run-dir", required=True)
+    p.add_argument("--steps-limit", type=int, default=None)
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="devices on the mesh data axis (0=all, 1=no mesh)")
+
+
+def _add_dcgan_args(p):
+    p.add_argument("--output-size", type=int, default=64)
+    p.add_argument("--c-dim", type=int, default=3)
+    p.add_argument("--z-dim", type=int, default=100)
+    p.add_argument("--gf-dim", type=int, default=64)
+    p.add_argument("--df-dim", type=int, default=64)
+    p.add_argument("--image-noise", type=float, default=0.0)
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+
+
+def _stills_source(args, cfg):
+    """Image batches from a directory of pngs/jpgs, or synthetic."""
+    from gifgan_tpu.data.loader import batches_from_array
+
+    if args.dataset == "synthetic":
+        from gifgan_tpu.data.synthetic import synthetic_stills
+
+        data = synthetic_stills(args.dataset_size, size=cfg.output_size,
+                                channels=cfg.c_dim).astype(np.float32)
+        data = data / 127.5 - 1.0
+    else:
+        import imageio.v2 as imageio
+
+        import jax
+        import jax.numpy as jnp
+
+        files = sorted(
+            os.path.join(args.dataset, f) for f in os.listdir(args.dataset)
+            if f.lower().endswith((".png", ".jpg", ".jpeg")))
+        imgs = []
+        for f in files:
+            im = np.asarray(imageio.imread(f))[..., :cfg.c_dim]
+            if im.shape[:2] != (cfg.output_size,) * 2:
+                im = np.asarray(jax.image.resize(
+                    jnp.asarray(im, jnp.float32),
+                    (cfg.output_size, cfg.output_size, cfg.c_dim),
+                    method="linear"))
+            imgs.append(im)
+        data = np.stack(imgs).astype(np.float32) / 127.5 - 1.0
+    return lambda: batches_from_array(data, args.batch_size,
+                                      shuffle=True, seed=args.seed)
+
+
+def cmd_train_dcgan(args):
+    from gifgan_tpu.train import loops
+
+    cfg = _dcgan_cfg(args)
+    loops.train_dcgan(_stills_source(args, cfg), cfg, _train_cfg(args),
+                      mesh=_mesh_arg(args), steps_limit=args.steps_limit)
+
+
+def cmd_train_vid(args):
+    from gifgan_tpu.core.config import VidGANConfig
+    from gifgan_tpu.data.loader import batches_from_array
+    from gifgan_tpu.train import loops
+
+    img_cfg = _dcgan_cfg(args)
+    cfg = VidGANConfig(z_input_size=args.vid_z_dim,
+                       z_output_size=args.z_dim,
+                       vid_length=args.vid_length,
+                       image_gan=img_cfg,
+                       image_noise_std=args.image_noise,
+                       activation_noise_std=args.activation_noise,
+                       first_frame_loss_scalar=args.first_frame_loss_scalar)
+
+    if args.dataset == "synthetic":
+        from gifgan_tpu.data.synthetic import synthetic_clips
+
+        clips = synthetic_clips(args.dataset_size, length=cfg.vid_length,
+                                size=img_cfg.output_size,
+                                channels=img_cfg.c_dim)
+    else:
+        from gifgan_tpu.data.video import decode_clip_batch
+
+        files = sorted(os.path.join(args.dataset, f)
+                       for f in os.listdir(args.dataset)
+                       if f.endswith((".mp4", ".avi")))
+        clips = decode_clip_batch(files, cfg.vid_length,
+                                  img_cfg.output_size, strict=False)
+    clips = clips.astype(np.float32) / 127.5 - 1.0
+
+    def clips_iter():
+        for batch in batches_from_array(clips, args.batch_size, shuffle=True,
+                                        seed=args.seed):
+            yield batch.reshape(-1, *batch.shape[2:])
+
+    loops.train_vid_dcgan(clips_iter, cfg, _train_cfg(args),
+                          image_gan_ckpt=args.image_gan_checkpoint,
+                          mesh=_mesh_arg(args), steps_limit=args.steps_limit)
+
+
+def cmd_train_recurrent(args):
+    from gifgan_tpu.core.config import RecurrentImageConfig
+    from gifgan_tpu.data.loader import batches_from_array
+    from gifgan_tpu.train import loops
+
+    cfg = RecurrentImageConfig(
+        image_size=args.output_size, c_dim=args.c_dim,
+        seq_length=args.vid_length, base_filters=args.gf_dim,
+        lstm_units=args.lstm_units, num_lstm_layers=args.lstm_layers,
+        lstm_dropout=args.lstm_dropout,
+        share_disc_conv=args.share_disc_conv)
+
+    if args.dataset == "synthetic":
+        from gifgan_tpu.data.synthetic import synthetic_clips
+
+        clips = synthetic_clips(args.dataset_size,
+                                length=cfg.seq_length + 1,
+                                size=cfg.image_size, channels=cfg.c_dim)
+    else:
+        from gifgan_tpu.data.video import decode_clip_batch
+
+        files = sorted(os.path.join(args.dataset, f)
+                       for f in os.listdir(args.dataset)
+                       if f.endswith((".mp4", ".avi")))
+        clips = decode_clip_batch(files, cfg.seq_length + 1,
+                                  cfg.image_size, strict=False)
+    clips = clips.astype(np.float32) / 255.0
+
+    loops.train_recurrent(
+        lambda: batches_from_array(clips, args.batch_size, shuffle=True,
+                                   seed=args.seed),
+        cfg, _train_cfg(args), resume=not args.no_resume,
+        steps_limit=args.steps_limit)
+
+
+def _load_vid_sampler(args):
+    """(cfg, sample_fn) from a VID_DCGAN run dir."""
+    import jax
+
+    from gifgan_tpu.core import checkpoint as ckpt
+    from gifgan_tpu.core.config import load_config
+    from gifgan_tpu.train import vid as vid_train
+
+    params = load_config(os.path.join(args.checkpoint, os.pardir,
+                                      "params.json")) \
+        if os.path.exists(os.path.join(args.checkpoint, os.pardir,
+                                       "params.json")) else None
+    cfg = params["model"] if params else None
+    assert cfg is not None, "run dir must contain params.json"
+    tcfg = params["train"]
+    ts = vid_train.init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    ts = vid_train.VidTrainState(**ckpt.restore(args.checkpoint,
+                                                ts._asdict()))
+
+    def sample_fn(z):
+        return np.asarray(vid_train.sample_videos(ts, np.asarray(z), cfg))
+
+    return cfg, sample_fn
+
+
+def cmd_sample_wall(args):
+    from gifgan_tpu.serve.sampler import gif_wall
+
+    cfg, sample_fn = _load_vid_sampler(args)
+    n = gif_wall(sample_fn, cfg.z_input_size, args.out_dir,
+                 batch_size=args.batch_size, num_batches=args.num_batches,
+                 continuous=args.continuous, fps=args.fps, seed=args.seed)
+    print(f"wrote {n} gifs to {args.out_dir}")
+
+
+def cmd_track(args):
+    from gifgan_tpu.core.config import TrackConfig
+    from gifgan_tpu.track.pipeline import run_directory
+
+    cfg = TrackConfig(min_jaccard=args.min_jaccard, max_skip=args.max_skip,
+                      min_frame_count=args.min_frame_count,
+                      min_total_detections=args.min_total_detections,
+                      target_size=args.target_size)
+    stats = run_directory(args.input_directory, args.output_directory, cfg,
+                          cascade_path=args.cascade,
+                          max_consecutive_errors=args.max_consecutive_errors)
+    print(stats.render_text())
+
+
+def cmd_combine_stats(args):
+    from gifgan_tpu.track.stats import combine_stats_files
+
+    combined = combine_stats_files(args.stats_files)
+    combined.write(args.out_dir)
+    print(combined.render_text())
+
+
+def cmd_scrape(args):
+    from gifgan_tpu.data.scrape import Scraper, default_fetch, parse_keywords
+
+    with open(args.keywords) as f:
+        keywords = parse_keywords(f.read())
+    s = Scraper(args.out_dir, default_fetch, api_key=args.api_key,
+                num_threads=args.num_threads,
+                items_per_thread=args.items_per_thread)
+    stats = s.scrape(keywords)
+    print(json.dumps({"new_total": stats.new_total,
+                      "per_keyword": stats.per_keyword,
+                      "errors": stats.errors}))
+
+
+def cmd_bulk_resize(args):
+    from gifgan_tpu.data.video import bulk_resize
+
+    print(json.dumps(bulk_resize(args.input_directory, args.output_directory,
+                                 args.width, args.length)))
+
+
+def cmd_video_to_gif(args):
+    from gifgan_tpu.data.video import video_to_gif
+
+    os.makedirs(args.output_directory, exist_ok=True)
+    for name in sorted(os.listdir(args.input_directory)):
+        if name.endswith((".avi", ".mp4")):
+            out = os.path.join(args.output_directory,
+                               os.path.splitext(name)[0] + ".gif")
+            video_to_gif(os.path.join(args.input_directory, name), out,
+                         fps=args.fps)
+            print("wrote", out)
+
+
+def cmd_sample_frames(args):
+    from gifgan_tpu.data.video import sample_frames_from_video
+
+    import imageio.v2 as imageio
+
+    os.makedirs(args.output_directory, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    count = 0
+    for name in sorted(os.listdir(args.input_directory)):
+        if not name.endswith((".mp4", ".avi", ".gif")):
+            continue
+        frames = sample_frames_from_video(
+            os.path.join(args.input_directory, name),
+            args.frames_per_video, args.size, rng)
+        for f in frames:
+            imageio.imwrite(os.path.join(args.output_directory,
+                                         f"{count:07d}.png"), f)
+            count += 1
+    print(f"wrote {count} frames")
+
+
+def cmd_bench(args):
+    import subprocess
+
+    subprocess.run([sys.executable,
+                    os.path.join(os.path.dirname(__file__), os.pardir,
+                                 "bench.py")], check=True)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="gifgan_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("train-dcgan", help="train the image DCGAN")
+    _add_dcgan_args(p)
+    _add_train_args(p)
+    p.add_argument("--dataset", default="synthetic",
+                   help="'synthetic' or a directory of images")
+    p.add_argument("--dataset-size", type=int, default=512)
+    p.set_defaults(fn=cmd_train_dcgan)
+
+    p = sub.add_parser("train-vid", help="train the recurrent-z video GAN")
+    _add_dcgan_args(p)
+    _add_train_args(p)
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--dataset-size", type=int, default=256)
+    p.add_argument("--vid-z-dim", type=int, default=120)
+    p.add_argument("--vid-length", type=int, default=16)
+    p.add_argument("--activation-noise", type=float, default=0.0)
+    p.add_argument("--first-frame-loss-scalar", type=float, default=0.0)
+    p.add_argument("--image-gan-checkpoint", default=None)
+    p.add_argument("--train-img-gen", action="store_true")
+    p.add_argument("--train-img-disc", action="store_true")
+    p.set_defaults(fn=cmd_train_vid)
+
+    p = sub.add_parser("train-recurrent",
+                       help="train the frame-conditioned recurrent GAN")
+    _add_dcgan_args(p)
+    _add_train_args(p, batch=40)
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--dataset-size", type=int, default=256)
+    p.add_argument("--vid-length", type=int, default=16)
+    p.add_argument("--lstm-units", type=int, default=100)
+    p.add_argument("--lstm-layers", type=int, default=1)
+    p.add_argument("--lstm-dropout", type=float, default=0.0)
+    p.add_argument("--share-disc-conv", action="store_true")
+    p.add_argument("--no-resume", action="store_true")
+    p.set_defaults(fn=cmd_train_recurrent)
+
+    p = sub.add_parser("sample-wall", help="continuous GIF sampler")
+    p.add_argument("--checkpoint", required=True,
+                   help="run_dir/checkpoints of a train-vid run")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--num-batches", type=int, default=1)
+    p.add_argument("--continuous", action="store_true")
+    p.add_argument("--fps", type=float, default=8.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_sample_wall)
+
+    p = sub.add_parser("track", help="face-track preprocessing over a dir")
+    p.add_argument("--input-directory", required=True)
+    p.add_argument("--output-directory", required=True)
+    p.add_argument("--min-jaccard", type=float, default=0.60)
+    p.add_argument("--max-skip", type=int, default=6)
+    p.add_argument("--min-frame-count", type=int, default=20)
+    p.add_argument("--min-total-detections", type=int, default=10)
+    p.add_argument("--target-size", type=int, default=256)
+    p.add_argument("--max-consecutive-errors", type=int, default=10)
+    p.add_argument("--cascade", default=None,
+                   help="path to an OpenCV Haar cascade XML")
+    p.set_defaults(fn=cmd_track)
+
+    p = sub.add_parser("combine-stats", help="merge sharded track stats")
+    p.add_argument("stats_files", nargs="+")
+    p.add_argument("--out-dir", required=True)
+    p.set_defaults(fn=cmd_combine_stats)
+
+    p = sub.add_parser("scrape", help="keyword GIF scraper")
+    p.add_argument("--keywords", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--api-key", default="")
+    p.add_argument("--num-threads", type=int, default=8)
+    p.add_argument("--items-per-thread", type=int, default=200)
+    p.set_defaults(fn=cmd_scrape)
+
+    p = sub.add_parser("bulk-resize")
+    p.add_argument("--input-directory", required=True)
+    p.add_argument("--output-directory", required=True)
+    p.add_argument("--width", type=int, default=64)
+    p.add_argument("--length", type=int, default=16)
+    p.set_defaults(fn=cmd_bulk_resize)
+
+    p = sub.add_parser("video-to-gif")
+    p.add_argument("--input-directory", required=True)
+    p.add_argument("--output-directory", required=True)
+    p.add_argument("--fps", type=float, default=8.0)
+    p.set_defaults(fn=cmd_video_to_gif)
+
+    p = sub.add_parser("sample-frames",
+                       help="sample training stills from videos")
+    p.add_argument("--input-directory", required=True)
+    p.add_argument("--output-directory", required=True)
+    p.add_argument("--frames-per-video", type=int, default=5)
+    p.add_argument("--size", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_sample_frames)
+
+    p = sub.add_parser("bench")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

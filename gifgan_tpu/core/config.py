@@ -34,8 +34,11 @@ class DCGANConfig:
     compute_dtype: str = "float32"
 
     def __post_init__(self):
-        if self.output_size % 16 != 0:
-            raise ValueError(f"output_size must be divisible by 16, got {self.output_size}")
+        # unconditional nets need 4 stride-2 stages (%16); the conditional
+        # (MNIST, 28x28) variant only has 2 (%4) — checked at init time.
+        if self.output_size % 4 != 0:
+            raise ValueError(
+                f"output_size must be divisible by 4, got {self.output_size}")
 
 
 @dataclass(frozen=True)

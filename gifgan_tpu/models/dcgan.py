@@ -41,6 +41,7 @@ class DCGANState(NamedTuple):
 
 
 def init_generator(key, cfg: DCGANConfig) -> Tuple[Dict, Dict]:
+    assert cfg.output_size % 16 == 0, "unconditional DCGAN needs size % 16"
     s16 = cfg.output_size // 16
     gf = cfg.gf_dim
     keys = jax.random.split(key, 5)
@@ -138,3 +139,107 @@ def sample(params: DCGANParams, state: DCGANState, z: Array,
     moments, state is not updated."""
     x, _ = generator(params.generator, state.generator, z, cfg, train=False)
     return x
+
+
+# ---------------------------------------------------------------------------
+# Conditional (y-label) variant — the MNIST configuration
+# (reference model.py:281-296 discriminator, :325-344 generator: label
+# conditioning by concatenation onto the latent / feature maps)
+# ---------------------------------------------------------------------------
+
+def conv_cond_concat(x: Array, y: Array) -> Array:
+    """Concatenate a (B, y_dim) label onto a (B, h, w, c) feature map as
+    constant channels (reference ops.py:45-49)."""
+    b, h, w, _ = x.shape
+    yb = jnp.broadcast_to(y[:, None, None, :], (b, h, w, y.shape[-1]))
+    return jnp.concatenate([x, yb.astype(x.dtype)], axis=-1)
+
+
+def init_generator_cond(key, cfg: DCGANConfig, y_dim: int,
+                        gfc_dim: int = 1024) -> Tuple[Dict, Dict]:
+    s4 = cfg.output_size // 4
+    gf = cfg.gf_dim
+    keys = jax.random.split(key, 4)
+    params = {
+        "h0_lin": nn.linear_init(keys[0], cfg.z_dim + y_dim, gfc_dim),
+        "h1_lin": nn.linear_init(keys[1], gfc_dim + y_dim, gf * 2 * s4 * s4),
+        "h2_deconv": nn.deconv2d_init(keys[2], gf * 2 + y_dim, gf * 2),
+        "h3_deconv": nn.deconv2d_init(keys[3], gf * 2 + y_dim, cfg.c_dim),
+    }
+    state = {}
+    for name, ch in (("bn0", gfc_dim), ("bn1", gf * 2 * s4 * s4),
+                     ("bn2", gf * 2)):
+        p, s = nn.batch_norm_init(ch)
+        params[name] = p
+        state[name] = s
+    return params, state
+
+
+def generator_cond(params, state, z: Array, y: Array, cfg: DCGANConfig,
+                   train: bool) -> Tuple[Array, Dict]:
+    """Label-conditioned generator; sigmoid output in [0, 1] (MNIST images
+    are stored [0, 1]; reference model.py:344)."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    s2, s4 = cfg.output_size // 2, cfg.output_size // 4
+    gf = cfg.gf_dim
+    new_state = {}
+    zy = jnp.concatenate([z, y], axis=1).astype(dtype)
+    h, new_state["bn0"] = nn.batch_norm(
+        params["bn0"], state["bn0"], nn.linear(params["h0_lin"], zy,
+                                               dtype=dtype), train)
+    h = jax.nn.relu(h)
+    h = jnp.concatenate([h, y.astype(h.dtype)], axis=1)
+    h, new_state["bn1"] = nn.batch_norm(
+        params["bn1"], state["bn1"], nn.linear(params["h1_lin"], h,
+                                               dtype=dtype), train)
+    h = jax.nn.relu(h).reshape(-1, s4, s4, gf * 2)
+    h = conv_cond_concat(h, y)
+    h, new_state["bn2"] = nn.batch_norm(
+        params["bn2"], state["bn2"], nn.deconv2d(params["h2_deconv"], h,
+                                                 dtype=dtype), train)
+    h = jax.nn.relu(h)
+    h = conv_cond_concat(h, y)
+    h = nn.deconv2d(params["h3_deconv"], h, dtype=dtype)
+    return jax.nn.sigmoid(h.astype(jnp.float32)), new_state
+
+
+def init_discriminator_cond(key, cfg: DCGANConfig, y_dim: int,
+                            dfc_dim: int = 1024) -> Tuple[Dict, Dict]:
+    s4 = cfg.output_size // 4
+    df = cfg.df_dim
+    keys = jax.random.split(key, 4)
+    c1 = cfg.c_dim + y_dim
+    flat = s4 * s4 * (df + y_dim)
+    params = {
+        "h0_conv": nn.conv2d_init(keys[0], cfg.c_dim + y_dim, c1),
+        "h1_conv": nn.conv2d_init(keys[1], c1 + y_dim, df + y_dim),
+        "h2_lin": nn.linear_init(keys[2], flat + y_dim, dfc_dim),
+        "h3_lin": nn.linear_init(keys[3], dfc_dim + y_dim, 1),
+    }
+    state = {}
+    for name, ch in (("bn1", df + y_dim), ("bn2", dfc_dim)):
+        p, s = nn.batch_norm_init(ch)
+        params[name] = p
+        state[name] = s
+    return params, state
+
+
+def discriminator_cond(params, state, x: Array, y: Array, cfg: DCGANConfig,
+                       train: bool) -> Tuple[Array, Dict]:
+    dtype = jnp.dtype(cfg.compute_dtype)
+    new_state = {}
+    h = conv_cond_concat(x.astype(dtype), y)
+    h = nn.lrelu(nn.conv2d(params["h0_conv"], h, dtype=dtype))
+    h = conv_cond_concat(h, y)
+    h, new_state["bn1"] = nn.batch_norm(
+        params["bn1"], state["bn1"], nn.conv2d(params["h1_conv"], h,
+                                               dtype=dtype), train)
+    h = nn.lrelu(h).reshape(h.shape[0], -1)
+    h = jnp.concatenate([h, y.astype(h.dtype)], axis=1)
+    h, new_state["bn2"] = nn.batch_norm(
+        params["bn2"], state["bn2"], nn.linear(params["h2_lin"], h,
+                                               dtype=dtype), train)
+    h = nn.lrelu(h)
+    h = jnp.concatenate([h, y.astype(h.dtype)], axis=1)
+    logits = nn.linear(params["h3_lin"], h, dtype=dtype)
+    return logits.astype(jnp.float32), new_state

@@ -144,3 +144,21 @@ def mssim(a, b, window: int = 8) -> "jax.Array":
     ssim_map = (((2 * mu_a * mu_b + C1) * (2 * cov + C2)) /
                 ((mu_a * mu_a + mu_b * mu_b + C1) * (var_a + var_b + C2)))
     return jnp.mean(ssim_map, axis=(1, 2, 3))
+
+
+def default_detector(cascade_path: Optional[str] = None,
+                     scale_factor: float = 1.1, min_neighbors: int = 3,
+                     min_size: int = 20, max_size_factor: float = 1.0):
+    """Best available Haar backend: OpenCV's CascadeClassifier when this
+    build has objdetect, otherwise the native gifgan_tpu.track.haar
+    evaluator. Either way, `cascade_path` points at a standard OpenCV
+    cascade XML (user-supplied model data)."""
+    if _HAVE_CV2 and hasattr(cv2, "CascadeClassifier"):
+        return CV2HaarDetector(cascade_path, scale_factor, min_neighbors,
+                               min_size, max_size_factor)
+    from gifgan_tpu.track.haar import HaarDetector
+
+    if cascade_path is None:
+        raise ValueError("cascade_path required for the native Haar backend")
+    return HaarDetector(cascade_path, scale_factor, min_neighbors, min_size,
+                        max_size_factor)

@@ -122,17 +122,19 @@ def process_video(frames: np.ndarray, detector: Callable,
 
 def run_directory(input_dir: str, output_dir: str, cfg: TrackConfig,
                   detector: Callable = None,
+                  cascade_path: str = None,
                   decode_fn: Callable = None,
                   max_consecutive_errors: int = 10,
                   dashboard_every_s: float = 15.0,
                   resume: bool = True) -> TrackStats:
     """Process every video in a directory with error isolation, dashboard
     refresh, params persistence, and idempotent resume."""
-    from gifgan_tpu.track.detect import CV2HaarDetector
+    from gifgan_tpu.track.detect import default_detector
 
     os.makedirs(output_dir, exist_ok=True)
-    detector = detector or CV2HaarDetector(
-        scale_factor=cfg.scale_factor, min_neighbors=cfg.min_neighbors)
+    detector = detector or default_detector(
+        cascade_path=cascade_path, scale_factor=cfg.scale_factor,
+        min_neighbors=cfg.min_neighbors)
     if decode_fn is None:
         from gifgan_tpu.data.video import decode_clip
 

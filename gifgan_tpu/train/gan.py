@@ -137,3 +137,85 @@ def train_step(ts: TrainState, images: Array, z: Array, rng,
 def sample_step(ts: TrainState, z: Array, cfg: DCGANConfig) -> Array:
     """Inference-mode sample grid source (reference sampler, model.py:346)."""
     return dcgan.sample(ts.params, ts.state, z, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Conditional (MNIST) training — reference model.py:206-224 mnist branch
+# ---------------------------------------------------------------------------
+
+class CondTrainState(NamedTuple):
+    params: dcgan.DCGANParams       # generator/discriminator cond param dicts
+    state: dcgan.DCGANState
+    opt_g: optax.OptState
+    opt_d: optax.OptState
+    step: Array
+
+
+def init_cond_train_state(key, cfg: DCGANConfig, y_dim: int,
+                          tcfg: TrainConfig) -> CondTrainState:
+    kg, kd = jax.random.split(key)
+    gp, gs = dcgan.init_generator_cond(kg, cfg, y_dim)
+    dp, ds = dcgan.init_discriminator_cond(kd, cfg, y_dim)
+    opt = make_optimizer(tcfg)
+    return CondTrainState(dcgan.DCGANParams(gp, dp), dcgan.DCGANState(gs, ds),
+                          opt.init(gp), opt.init(dp),
+                          jnp.zeros((), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tcfg"), donate_argnums=(0,))
+def cond_train_step(ts: CondTrainState, images: Array, y: Array, z: Array,
+                    rng, cfg: DCGANConfig, tcfg: TrainConfig,
+                    ) -> Tuple[CondTrainState, Dict]:
+    """Label-conditioned D+G updates (images in [0, 1], one-hot y)."""
+    opt = make_optimizer(tcfg)
+    metrics = {}
+    for _ in range(tcfg.disc_updates):
+        fake, gen_bn = dcgan.generator_cond(
+            ts.params.generator, ts.state.generator, z, y, cfg, train=True)
+
+        def d_loss_fn(dp):
+            lr_, ds1 = dcgan.discriminator_cond(
+                dp, ts.state.discriminator, images, y, cfg, train=True)
+            lf_, ds2 = dcgan.discriminator_cond(dp, ds1, fake, y, cfg,
+                                                train=True)
+            loss_r = nn.sigmoid_ce(lr_, jnp.ones_like(lr_))
+            loss_f = nn.sigmoid_ce(lf_, jnp.zeros_like(lf_))
+            return loss_r + loss_f, (loss_r, loss_f, ds2)
+
+        (d_loss, (lr_v, lf_v, disc_bn)), grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(ts.params.discriminator)
+        updates, opt_d = opt.update(grads, ts.opt_d, ts.params.discriminator)
+        ts = ts._replace(
+            params=ts.params._replace(
+                discriminator=optax.apply_updates(ts.params.discriminator,
+                                                  updates)),
+            state=dcgan.DCGANState(gen_bn, disc_bn), opt_d=opt_d)
+        metrics.update(d_loss=d_loss, d_loss_real=lr_v, d_loss_fake=lf_v)
+
+    for _ in range(tcfg.gen_updates):
+        def g_loss_fn(gp):
+            fake, gs = dcgan.generator_cond(
+                gp, ts.state.generator, z, y, cfg, train=True)
+            logits, ds = dcgan.discriminator_cond(
+                ts.params.discriminator, ts.state.discriminator, fake, y,
+                cfg, train=True)
+            return nn.sigmoid_ce(logits, jnp.ones_like(logits)), (gs, ds)
+
+        (g_loss, (gen_bn, disc_bn)), grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(ts.params.generator)
+        updates, opt_g = opt.update(grads, ts.opt_g, ts.params.generator)
+        ts = ts._replace(
+            params=ts.params._replace(
+                generator=optax.apply_updates(ts.params.generator, updates)),
+            state=dcgan.DCGANState(gen_bn, disc_bn), opt_g=opt_g)
+        metrics["g_loss"] = g_loss
+
+    return ts._replace(step=ts.step + 1), metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def cond_sample_step(ts: CondTrainState, z: Array, y: Array,
+                     cfg: DCGANConfig) -> Array:
+    x, _ = dcgan.generator_cond(ts.params.generator, ts.state.generator,
+                                z, y, cfg, train=False)
+    return x

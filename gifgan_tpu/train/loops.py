@@ -1,0 +1,252 @@
+"""Full training loops: epochs, sample grids, checkpoints, metrics, resume.
+
+The reference's loop behaviors (model.py:143-266, z_model_lib.py:148-259):
+per-epoch batch iteration, sample grid every `sample_every` steps, checkpoint
+every `checkpoint_every` with max_to_keep GC, best-effort resume from the
+latest checkpoint at start, face x expression cross-grid samples when the
+first-frame loss is active (z_model_lib.py:187-201), and the std diagnostics
+printed per step. Data feeding is prefetched+device-put (vs the reference's
+inline cv2 decode in the hot loop — its dominant stall, SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Iterator, Optional
+
+import jax
+import numpy as np
+
+from gifgan_tpu.core import checkpoint as ckpt
+from gifgan_tpu.core.config import (DCGANConfig, TrainConfig, VidGANConfig,
+                                    RecurrentImageConfig, save_config)
+from gifgan_tpu.core.metrics import MetricsLogger
+from gifgan_tpu.core.rng import PRNGSequence, uniform_z
+from gifgan_tpu.data.loader import PrefetchLoader
+from gifgan_tpu.ops.image import inverse_transform, merge_grid, to_uint8
+
+
+def _save_grid(samples: np.ndarray, rows: int, cols: int, path: str,
+               from_range: str = "[-1,1]") -> None:
+    import imageio.v2 as imageio
+
+    import jax.numpy as jnp
+
+    x = jnp.asarray(samples)
+    if from_range == "[-1,1]":
+        x = inverse_transform(x)
+    grid = to_uint8(merge_grid(x, rows, cols))
+    imageio.imwrite(path, np.asarray(grid))
+
+
+def cross_sample_z(rows: int, cols: int, z_in: int, z_out: int,
+                   rng: np.random.Generator) -> np.ndarray:
+    """Face x expression grid (z_model_lib.py:187-201): each row shares a
+    face latent (dims :z_out), each column an expression latent (z_out:)."""
+    face = rng.uniform(-1, 1, (rows, 1, z_out))
+    face = np.repeat(face, cols, axis=1)
+    expr = rng.uniform(-1, 1, (1, cols, z_in - z_out))
+    expr = np.repeat(expr, rows, axis=0)
+    return np.concatenate([face, expr], axis=2).reshape(rows * cols, z_in)
+
+
+def train_dcgan(images_iter: Callable[[], Iterator[np.ndarray]],
+                cfg: DCGANConfig, tcfg: TrainConfig,
+                mesh=None, resume: bool = True,
+                steps_limit: Optional[int] = None):
+    """images_iter: () -> iterator of (B, s, s, c) float [-1,1] batches (one
+    pass = one epoch). Returns the final TrainState."""
+    from gifgan_tpu.parallel.dp import (make_sharded_step, shard_batch_arrays,
+                                        shard_train_state)
+    from gifgan_tpu.train import gan
+
+    run_dir = tcfg.run_dir
+    os.makedirs(run_dir, exist_ok=True)
+    save_config({"model": cfg, "train": tcfg},
+                os.path.join(run_dir, "params.json"))
+    rngs = PRNGSequence(tcfg.seed)
+    ts = gan.init_train_state(rngs.next(), cfg, tcfg)
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+    if resume and ckpt.latest_step(ckpt_dir) is not None:
+        tree = ckpt.restore(ckpt_dir, ts._asdict())
+        ts = gan.TrainState(**tree)
+        print(f"resumed from step {int(ts.step)}")
+
+    if mesh is not None:
+        ts = shard_train_state(mesh, ts)
+        step_fn = make_sharded_step(gan.train_step, mesh,
+                                    static_args={"cfg": cfg, "tcfg": tcfg})
+    else:
+        step_fn = lambda *a: gan.train_step(*a, cfg, tcfg)
+
+    sample_z = uniform_z(rngs.next(), (64, cfg.z_dim))
+    log = MetricsLogger(run_dir)
+    step = int(jax.device_get(ts.step))
+    for epoch in range(tcfg.epochs):
+        for batch in PrefetchLoader(images_iter()):
+            batch = np.asarray(batch)
+            if mesh is not None:
+                batch = shard_batch_arrays(mesh, batch)
+            z = uniform_z(rngs.next(), (batch.shape[0], cfg.z_dim))
+            ts, metrics = step_fn(ts, batch, z, rngs.next())
+            step += 1
+            log.log(step, metrics)
+            if tcfg.sample_every and step % tcfg.sample_every == 0:
+                samples = gan.sample_step(jax.device_get(ts), sample_z, cfg)
+                _save_grid(np.asarray(samples), 8, 8,
+                           os.path.join(run_dir,
+                                        f"train_{epoch:02d}_{step:06d}.png"))
+            if tcfg.checkpoint_every and step % tcfg.checkpoint_every == 0:
+                ckpt.save(ckpt_dir, step, jax.device_get(ts)._asdict(),
+                          max_to_keep=tcfg.max_checkpoints_to_keep)
+            if steps_limit and step >= steps_limit:
+                break
+        if steps_limit and step >= steps_limit:
+            break
+    ckpt.save(ckpt_dir, step, jax.device_get(ts)._asdict(),
+              max_to_keep=tcfg.max_checkpoints_to_keep)
+    log.close()
+    return ts
+
+
+def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
+                    cfg: VidGANConfig, tcfg: TrainConfig,
+                    image_gan_ckpt: Optional[str] = None,
+                    mesh=None, resume: bool = True,
+                    steps_limit: Optional[int] = None):
+    """clips_iter yields time-folded (B*T, s, s, c) float [-1,1] batches."""
+    from gifgan_tpu.data.video import encode_mp4
+    from gifgan_tpu.parallel.dp import (make_sharded_step, shard_batch_arrays,
+                                        shard_train_state)
+    from gifgan_tpu.train import vid as vid_train
+
+    run_dir = tcfg.run_dir
+    os.makedirs(run_dir, exist_ok=True)
+    save_config({"model": cfg, "train": tcfg},
+                os.path.join(run_dir, "params.json"))
+    rngs = PRNGSequence(tcfg.seed)
+    ts = vid_train.init_train_state(rngs.next(), cfg, tcfg)
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+    if resume and ckpt.latest_step(ckpt_dir) is not None:
+        ts = vid_train.VidTrainState(**ckpt.restore(ckpt_dir, ts._asdict()))
+        print(f"resumed from step {int(ts.step)}")
+    elif image_gan_ckpt:
+        ts = vid_train.load_image_gan(ts, image_gan_ckpt)
+        print(f"loaded frozen image GAN from {image_gan_ckpt}")
+
+    if mesh is not None:
+        ts = shard_train_state(mesh, ts)
+        step_fn = make_sharded_step(vid_train.train_step, mesh,
+                                    static_args={"cfg": cfg, "tcfg": tcfg})
+    else:
+        step_fn = lambda *a: vid_train.train_step(*a, cfg, tcfg)
+
+    np_rng = np.random.default_rng(tcfg.seed)
+    sample_z = np_rng.uniform(-1, 1, (tcfg.batch_size, cfg.z_input_size)
+                              ).astype(np.float32)
+    cross_z = cross_sample_z(8, tcfg.batch_size // 8 or 1, cfg.z_input_size,
+                             cfg.z_output_size, np_rng).astype(np.float32)
+    log = MetricsLogger(run_dir)
+    step = int(jax.device_get(ts.step))
+    for epoch in range(tcfg.epochs):
+        for frames in PrefetchLoader(clips_iter()):
+            frames = np.asarray(frames)
+            b = frames.shape[0] // cfg.vid_length
+            if mesh is not None:
+                frames = shard_batch_arrays(mesh, frames)
+            z = uniform_z(rngs.next(), (b, cfg.z_input_size))
+            ts, metrics = step_fn(ts, frames, z, rngs.next())
+            step += 1
+            log.log(step, metrics)
+            if tcfg.sample_every and step % tcfg.sample_every == 0:
+                host_ts = jax.device_get(ts)
+                for name, zz in (("sample", sample_z),
+                                 ("cross_sample", cross_z)):
+                    if name == "cross_sample" and cfg.first_frame_loss_scalar <= 0:
+                        continue
+                    vids = np.asarray(vid_train.sample_videos(
+                        host_ts, zz[:tcfg.batch_size], cfg))
+                    _write_video_grid(vids, 8, os.path.join(
+                        run_dir, f"{name}_{epoch:02d}_{step:06d}.mp4"))
+            if tcfg.checkpoint_every and step % tcfg.checkpoint_every == 0:
+                ckpt.save(ckpt_dir, step, jax.device_get(ts)._asdict(),
+                          max_to_keep=tcfg.max_checkpoints_to_keep)
+            if steps_limit and step >= steps_limit:
+                break
+        if steps_limit and step >= steps_limit:
+            break
+    ckpt.save(ckpt_dir, step, jax.device_get(ts)._asdict(),
+              max_to_keep=tcfg.max_checkpoints_to_keep)
+    log.close()
+    return ts
+
+
+def _write_video_grid(videos: np.ndarray, cols: int, path: str,
+                      fps: float = 25.0) -> None:
+    """(B, T, s, s, c) [-1,1] -> tiled grid mp4 (dump_sample layout,
+    z_model_lib.py:261-308)."""
+    from gifgan_tpu.data.video import encode_mp4
+
+    b, t, s, _, c = videos.shape
+    rows = b // cols
+    u8 = np.clip(np.round((videos + 1) * 127.5), 0, 255).astype(np.uint8)
+    grid = u8[:rows * cols].reshape(rows, cols, t, s, s, c)
+    grid = grid.transpose(2, 0, 3, 1, 4, 5).reshape(t, rows * s, cols * s, c)
+    if c == 1:
+        grid = np.repeat(grid, 3, axis=-1)
+    encode_mp4(path, grid, fps=fps)
+
+
+def train_recurrent(clips_iter: Callable[[], Iterator[np.ndarray]],
+                    cfg: RecurrentImageConfig, tcfg: TrainConfig,
+                    resume: bool = True, allow_overwrite: bool = False,
+                    steps_limit: Optional[int] = None):
+    """clips_iter yields (B, T+1, s, s, c) float [0,1] batches. Refuses to
+    reuse an existing checkpoint dir unless resuming (recurrent_DCGAN.py:130-134)."""
+    from gifgan_tpu.train import recurrent as rtrain
+
+    run_dir = tcfg.run_dir
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+    existing = ckpt.latest_step(ckpt_dir)
+    if existing is not None and not resume and not allow_overwrite:
+        raise RuntimeError(
+            f"checkpoint dir {ckpt_dir} exists (step {existing}); pass "
+            "resume=True or allow_overwrite=True")
+    os.makedirs(run_dir, exist_ok=True)
+    save_config({"model": cfg, "train": tcfg},
+                os.path.join(run_dir, "params.json"))
+    rngs = PRNGSequence(tcfg.seed)
+    ts = rtrain.init_train_state(rngs.next(), cfg, tcfg)
+    if resume and existing is not None:
+        ts = rtrain.RecurrentTrainState(**ckpt.restore(ckpt_dir,
+                                                       ts._asdict()))
+        print(f"resumed from step {int(ts.step)}")
+
+    log = MetricsLogger(run_dir)
+    step = int(jax.device_get(ts.step))
+    for epoch in range(tcfg.epochs):
+        for clips in PrefetchLoader(clips_iter()):
+            import jax.numpy as jnp
+
+            ts, metrics = rtrain.train_step(ts, jnp.asarray(clips),
+                                            rngs.next(), cfg, tcfg)
+            step += 1
+            log.log(step, metrics)
+            if tcfg.sample_every and step % tcfg.sample_every == 0:
+                preds = np.asarray(rtrain.predict(ts, jnp.asarray(clips), cfg))
+                _write_video_grid(preds * 2.0 - 1.0,
+                                  min(4, preds.shape[0]),
+                                  os.path.join(run_dir,
+                                               f"pred_{step:06d}.mp4"))
+            if tcfg.checkpoint_every and step % tcfg.checkpoint_every == 0:
+                ckpt.save(ckpt_dir, step, jax.device_get(ts)._asdict(),
+                          max_to_keep=tcfg.max_checkpoints_to_keep)
+            if steps_limit and step >= steps_limit:
+                break
+        if steps_limit and step >= steps_limit:
+            break
+    ckpt.save(ckpt_dir, step, jax.device_get(ts)._asdict(),
+              max_to_keep=tcfg.max_checkpoints_to_keep)
+    log.close()
+    return ts

@@ -1,0 +1,90 @@
+"""Native Haar cascade tests: parsing mechanics, integral images, rect
+grouping, and (when an OpenCV cascade XML is present) detection quality on
+generated-face frames vs noise."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gifgan_tpu.track.haar import (HaarDetector, group_rectangles,
+                                   integral_images, parse_cascade,
+                                   _scaled_rects)
+
+CASCADE_PATHS = [
+    "/root/reference/demo/classifier_configs/haarcascade_frontalface_alt2.xml",
+    os.path.expanduser("~/haarcascade_frontalface_alt2.xml"),
+]
+
+
+def _cascade_path():
+    for p in CASCADE_PATHS:
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def test_integral_images():
+    g = np.arange(12, dtype=np.float64).reshape(3, 4)
+    ii, ii2 = integral_images(g)
+    assert ii.shape == (4, 5)
+    assert ii[0].sum() == 0 and ii[:, 0].sum() == 0
+    # rect sum over full image
+    assert ii[3, 4] == g.sum()
+    assert ii2[3, 4] == (g * g).sum()
+    # sub-rect (rows 1-2, cols 1-3)
+    sub = ii[3, 4] + ii[1, 1] - ii[1, 4] - ii[3, 1]
+    assert sub == g[1:3, 1:4].sum()
+
+
+def test_group_rectangles():
+    boxes = np.array([
+        [10, 10, 20, 20], [11, 10, 20, 20], [10, 11, 21, 20],  # cluster of 3
+        [80, 80, 20, 20],                                        # singleton
+    ])
+    out = group_rectangles(boxes, min_neighbors=2)
+    assert out.shape == (1, 4)
+    assert abs(out[0, 0] - 10.33) < 1
+    out_all = group_rectangles(boxes, min_neighbors=1)
+    assert out_all.shape == (2, 4)
+    assert group_rectangles(np.zeros((0, 4), int), 2).shape == (0, 4)
+
+
+@pytest.mark.skipif(_cascade_path() is None, reason="no cascade XML on host")
+def test_parse_cascade_structure():
+    cas = parse_cascade(_cascade_path())
+    assert (cas.window_w, cas.window_h) == (20, 20)
+    assert len(cas.stage_thr) == 20
+    assert cas.stage_count.sum() == len(cas.node_feat)
+    assert cas.rects.shape[1:] == (3, 5)
+    # feature indices in range
+    assert cas.node_feat.max() < cas.rects.shape[0]
+    # scaled rect weights rebalance to ~zero weighted area
+    sr = _scaled_rects(cas, 1.7)
+    warea = (sr[:, :, 4] * sr[:, :, 2] * sr[:, :, 3]).sum(axis=1)
+    np.testing.assert_allclose(warea, 0.0, atol=1e-6)
+
+
+@pytest.mark.skipif(_cascade_path() is None, reason="no cascade XML on host")
+def test_detects_faces_not_noise():
+    det = HaarDetector(_cascade_path(), min_neighbors=2, min_size=20)
+    face_dir = "/root/reference/firebase/public/mturk/nested_dcgan_samples"
+    if not os.path.isdir(face_dir):
+        pytest.skip("no face samples on host")
+    import imageio.v2 as imageio
+
+    files = sorted(os.listdir(face_dir))[:4]
+    hits = 0
+    for f in files:
+        frame = np.asarray(imageio.mimread(
+            os.path.join(face_dir, f))[0])[..., :3]
+        big = np.repeat(np.repeat(frame, 2, 0), 2, 1)
+        dets = det(big, 0)
+        hits += int(len(dets) > 0)
+    assert hits >= 3, f"only {hits}/4 generated faces detected"
+
+    rng = np.random.default_rng(0)
+    noise_hits = sum(
+        int(len(det(rng.integers(0, 255, (128, 128, 3), np.uint8), 0)) > 0)
+        for _ in range(3))
+    assert noise_hits == 0

@@ -1,0 +1,99 @@
+"""End-to-end training loop tests: artifacts, cadence, resume semantics."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gifgan_tpu.core import checkpoint as ckpt
+from gifgan_tpu.core.config import (DCGANConfig, RecurrentImageConfig,
+                                    TrainConfig, VidGANConfig)
+from gifgan_tpu.data.synthetic import synthetic_clips, synthetic_stills
+from gifgan_tpu.train import loops
+
+IMG = DCGANConfig(output_size=32, c_dim=3, z_dim=16, gf_dim=8, df_dim=8)
+
+
+def stills_iter():
+    data = synthetic_stills(32, size=32).astype(np.float32) / 127.5 - 1.0
+    def it():
+        for i in range(2):
+            yield data[i * 16:(i + 1) * 16]
+    return it
+
+
+def test_train_dcgan_loop_artifacts_and_resume(tmp_path):
+    pytest.importorskip("imageio")
+    tcfg = TrainConfig(batch_size=16, epochs=2, sample_every=2,
+                       checkpoint_every=2, run_dir=str(tmp_path / "run"))
+    ts = loops.train_dcgan(stills_iter(), IMG, tcfg, steps_limit=3)
+    assert int(ts.step) == 3
+    run = tmp_path / "run"
+    assert (run / "params.json").exists()
+    assert (run / "train_metrics.jsonl").exists()
+    assert any(f.startswith("train_") and f.endswith(".png")
+               for f in os.listdir(run))
+    steps = ckpt.all_steps(str(run / "checkpoints"))
+    assert 3 in steps
+
+    # resume continues from the saved step
+    ts2 = loops.train_dcgan(stills_iter(), IMG, tcfg, steps_limit=5)
+    assert int(ts2.step) == 5
+
+
+def test_train_vid_loop_with_image_gan_graft(tmp_path):
+    pytest.importorskip("cv2")
+    # first make an image-GAN checkpoint
+    tcfg_img = TrainConfig(batch_size=16, epochs=1, sample_every=0,
+                           checkpoint_every=0,
+                           run_dir=str(tmp_path / "img_run"))
+    loops.train_dcgan(stills_iter(), IMG, tcfg_img, steps_limit=1)
+    img_ckpt = str(tmp_path / "img_run" / "checkpoints")
+
+    cfg = VidGANConfig(z_input_size=20, z_output_size=16, vid_length=4,
+                       hidden_dim=32, d_filters=16, image_gan=IMG,
+                       first_frame_loss_scalar=1.0)
+    tcfg = TrainConfig(batch_size=8, epochs=2, sample_every=2,
+                       checkpoint_every=2, run_dir=str(tmp_path / "vid_run"))
+
+    clips = synthetic_clips(8, length=4, size=32).astype(np.float32)
+    folded = clips.reshape(-1, 32, 32, 3) / 127.5 - 1.0
+
+    def clips_iter():
+        yield folded
+
+    ts = loops.train_vid_dcgan(lambda: clips_iter(), cfg, tcfg,
+                               image_gan_ckpt=img_ckpt, steps_limit=2)
+    assert int(ts.step) == 2
+    run = tmp_path / "vid_run"
+    assert any(f.startswith("sample_") and f.endswith(".mp4")
+               for f in os.listdir(run))
+    assert any(f.startswith("cross_sample_") for f in os.listdir(run))
+
+    # the grafted image generator came from the image-GAN checkpoint
+    import jax
+    flat = ckpt.load_flat(img_ckpt)
+    leaf = flat["params/generator/h0_lin/w"]
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(ts.params.img_generator["h0_lin"]["w"])),
+        leaf)
+
+
+def test_train_recurrent_refuses_overwrite(tmp_path):
+    cfg = RecurrentImageConfig(image_size=32, c_dim=3, seq_length=4,
+                               base_filters=8, lstm_units=16)
+    tcfg = TrainConfig(batch_size=4, epochs=3, sample_every=0,
+                       checkpoint_every=0, run_dir=str(tmp_path / "r"))
+    clips = synthetic_clips(4, length=5, size=32).astype(np.float32) / 255.0
+
+    def it():
+        yield clips
+
+    loops.train_recurrent(lambda: it(), cfg, tcfg, steps_limit=1)
+    with pytest.raises(RuntimeError, match="exists"):
+        loops.train_recurrent(lambda: it(), cfg, tcfg, resume=False,
+                              steps_limit=1)
+    # resume path works
+    ts = loops.train_recurrent(lambda: it(), cfg, tcfg, resume=True,
+                               steps_limit=2)
+    assert int(ts.step) == 2
