@@ -85,9 +85,16 @@ def encode_mp4(path: str, frames: np.ndarray, fps: float = 25.0) -> None:
 def write_gif(path: str, frames: np.ndarray, fps: float = 8.0,
               atomic: bool = True) -> None:
     """frames: (T, H, W, 3) uint8 RGB -> GIF, atomically (tmp+rename,
-    model_sampler.py:74-80)."""
+    model_sampler.py:74-80). Uses the native C++ encoder
+    (native/gifcodec.cpp) when built; imageio otherwise."""
+    from gifgan_tpu.data import native_gif
+
+    if native_gif.available():
+        native_gif.encode_gif(path, np.ascontiguousarray(frames[..., :3]),
+                              fps=fps, atomic=atomic)
+        return
     if not HAVE_IMAGEIO:
-        raise RuntimeError("imageio unavailable: no GIF encode on this host")
+        raise RuntimeError("no GIF encoder available on this host")
     tmp = path + ".tmp.gif" if atomic else path
     imageio.mimwrite(tmp, list(frames), format="GIF",
                      duration=1000.0 / fps, loop=0)
@@ -96,14 +103,31 @@ def write_gif(path: str, frames: np.ndarray, fps: float = 8.0,
 
 
 def read_gif(path: str, size: Optional[int] = None) -> np.ndarray:
-    """(T, H, W, 3) uint8 RGB."""
-    if not HAVE_IMAGEIO:
-        raise RuntimeError("imageio unavailable")
-    frames = [np.asarray(f)[..., :3] for f in imageio.mimread(path)]
-    if size is not None and HAVE_CV2:
-        frames = [cv2.resize(f, (size, size),
-                             interpolation=cv2.INTER_LINEAR) for f in frames]
-    return np.stack(frames)
+    """(T, H, W, 3) uint8 RGB. Native C++ decoder when built; imageio
+    fallback."""
+    from gifgan_tpu.data import native_gif
+
+    if native_gif.available():
+        frames = native_gif.decode_gif(path)
+    elif HAVE_IMAGEIO:
+        frames = np.stack([np.asarray(f)[..., :3]
+                           for f in imageio.mimread(path)])
+    else:
+        raise RuntimeError("no GIF decoder available on this host")
+    if size is not None and frames.shape[1:3] != (size, size):
+        if HAVE_CV2:
+            frames = np.stack([
+                cv2.resize(f, (size, size), interpolation=cv2.INTER_LINEAR)
+                for f in frames])
+        else:
+            import jax
+            import jax.numpy as jnp
+
+            frames = np.clip(np.asarray(jax.image.resize(
+                jnp.asarray(frames, jnp.float32),
+                (frames.shape[0], size, size, frames.shape[3]),
+                method="linear")), 0, 255).astype(np.uint8)
+    return frames
 
 
 def sample_frames_from_video(path: str, n: int, size: int,
