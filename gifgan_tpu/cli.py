@@ -306,6 +306,180 @@ def cmd_sample_frames(args):
     print(f"wrote {count} frames")
 
 
+
+
+def _load_dcgan_from_run(checkpoint_dir):
+    """(cfg, params, state) from an image-GAN run's checkpoints dir."""
+    import jax
+
+    from gifgan_tpu.core import checkpoint as ckpt
+    from gifgan_tpu.core.config import load_config
+    from gifgan_tpu.train import gan
+
+    params_path = os.path.join(checkpoint_dir, os.pardir, "params.json")
+    doc = load_config(params_path)
+    cfg, tcfg = doc["model"], doc["train"]
+    ts = gan.init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    ts = gan.TrainState(**ckpt.restore(checkpoint_dir, ts._asdict()))
+    return cfg, ts.params, ts.state
+
+
+def cmd_invert(args):
+    """Image inversion + expression-path animation (the
+    discriminator_activation_optimizer workflow)."""
+    import imageio.v2 as imageio
+
+    import jax
+    import jax.numpy as jnp
+
+    from gifgan_tpu.core.config import InvertConfig
+    from gifgan_tpu.invert import apply_latent_path, invert_images
+    from gifgan_tpu.data.video import encode_mp4
+
+    cfg, params, state = _load_dcgan_from_run(args.checkpoint)
+    targets = []
+    for img_path in args.input_images:
+        im = np.asarray(imageio.imread(img_path))[..., :cfg.c_dim]
+        if im.shape[:2] != (cfg.output_size,) * 2:
+            im = np.clip(np.asarray(jax.image.resize(
+                jnp.asarray(im, jnp.float32),
+                (cfg.output_size, cfg.output_size, cfg.c_dim),
+                method="linear")), 0, 255)
+        targets.append(im.astype(np.float32) / 127.5 - 1.0)
+    reps = max(1, args.batch_size // max(1, len(targets)))
+    batch = np.stack((targets * reps)[:args.batch_size])
+
+    icfg = InvertConfig(steps=args.num_steps, learning_rate=args.learning_rate,
+                        lr_decay_every=args.lr_decay_frequency or 10**9,
+                        lr_decay_factor=args.lr_decay_amount,
+                        pixel_l1=args.pixel_l1_weight,
+                        pixel_l2=args.pixel_l2_weight,
+                        activation_l1=args.activations_l1_weight,
+                        activation_l2=args.activations_l2_weight,
+                        generator_loss=args.generator_loss_weight,
+                        use_train_mode_activations=(
+                            args.discriminator_mode == "train"),
+                        batch_size=len(batch))
+    os.makedirs(args.sample_dir, exist_ok=True)
+    sections = ([tuple(int(v) for v in s.split(","))
+                 for s in args.progress_vid_sections]
+                if args.progress_vid_sections else None)
+    z, losses, frames = invert_images(params, state, batch, cfg, icfg,
+                                      progress_sections=sections)
+    np.save(os.path.join(args.sample_dir, "z.npy"), np.asarray(z))
+    final = np.asarray(frames[-1]) if frames else None
+    if final is not None:
+        u8 = np.clip(np.round((final[0] + 1) * 127.5), 0, 255).astype(np.uint8)
+        imageio.imwrite(os.path.join(args.sample_dir, "final.png"), u8)
+    print(f"final loss: {losses[-1]:.6f}")
+
+    from gifgan_tpu.serve.webcam import load_latent_paths
+
+    if args.input_paths:
+        for i, p in enumerate(args.input_paths):
+            import numpy as _np
+            from numpy import array  # noqa: F401
+            if p.endswith(".npy"):
+                path_zs = _np.load(p)
+            else:
+                with open(p) as f:
+                    path_zs = _np.asarray(eval(f.read()))
+            vid = np.asarray(apply_latent_path(params, state, z[:1],
+                                               path_zs, cfg))[:, 0]
+            u8 = np.clip(np.round((vid + 1) * 127.5), 0, 255).astype(np.uint8)
+            encode_mp4(os.path.join(args.sample_dir, f"path_{i:02d}.mp4"), u8)
+    print("wrote", args.sample_dir)
+
+
+def cmd_z_extract(args):
+    """Batch dataset z-trajectory extraction (z_space_finder)."""
+    from gifgan_tpu.core.config import InvertConfig
+    from gifgan_tpu.data.video import decode_clip
+    from gifgan_tpu.invert.z_finder import extract_z_trajectories
+
+    cfg, params, state = _load_dcgan_from_run(args.checkpoint)
+    icfg = InvertConfig(steps=args.num_initial_steps,
+                        learning_rate=args.learning_rate,
+                        pixel_l1=args.pixel_l1_weight,
+                        activation_l1=args.activations_l1_weight,
+                        batch_size=args.batch_size)
+    files = sorted(os.path.join(args.input_directory, f)
+                   for f in os.listdir(args.input_directory)
+                   if f.endswith((".mp4", ".avi", ".gif")))
+
+    def load_clip(path):
+        try:
+            clip = decode_clip(path, args.vid_length, cfg.output_size,
+                               strict=False)
+        except Exception:
+            return None
+        return clip.astype(np.float32) / 127.5 - 1.0
+
+    written = extract_z_trajectories(
+        params, state, cfg, icfg, files, load_clip, args.output_z_folder,
+        batch_size=args.batch_size,
+        num_initial_steps=args.num_initial_steps,
+        num_steps_per_frame=args.num_steps_per_frame,
+        stop_after=args.stop_after,
+        write_comparisons=args.write_comparisons)
+    print(f"wrote {len(written)} trajectories")
+
+
+def cmd_explorer(args):
+    from gifgan_tpu.serve.explorer import ExplorerCore, serve
+
+    cfg, params, state = _load_dcgan_from_run(args.checkpoint)
+
+    def sampler(z):
+        from gifgan_tpu.models import dcgan
+
+        return np.asarray(dcgan.sample(params, state, np.asarray(z), cfg))
+
+    core = ExplorerCore(sampler, cfg.z_dim, args.media_dir,
+                        batch_size=args.batch_size)
+    static = os.path.join(os.path.dirname(__file__), "serve", "static")
+    print(f"explorer listening on {args.host}:{args.port}")
+    serve(core, host=args.host, port=args.port, static_dir=static)
+
+
+def cmd_webcam_serve(args):
+    from gifgan_tpu.serve.webcam import (WebcamBackend, load_latent_paths,
+                                         serve)
+
+    cfg, params, state = _load_dcgan_from_run(args.checkpoint)
+    paths = (load_latent_paths(args.paths_dir, cfg.z_dim)
+             if args.paths_dir else {})
+    backend = WebcamBackend(params, state, cfg, args.out_dir, paths=paths,
+                            steps=args.num_steps,
+                            batch_size=args.batch_size)
+    print(f"webcam service on {args.host}:{args.port} "
+          f"({len(paths)} expression paths)")
+    serve(backend, host=args.host, port=args.port)
+
+
+def cmd_eval_track_rate(args):
+    from gifgan_tpu.data.video import read_gif
+    from gifgan_tpu.eval import face_track_rate, track_rate_report
+    from gifgan_tpu.eval.track_rate import EVAL_TRACK_CONFIG
+    from gifgan_tpu.track.detect import default_detector
+
+    detector = default_detector(cascade_path=args.cascade, min_neighbors=2,
+                                min_size=20)
+    results = {}
+    for d in args.sample_dirs:
+        clips = []
+        for f in sorted(os.listdir(d))[:args.limit]:
+            if f.endswith(".gif"):
+                clip = read_gif(os.path.join(d, f))
+                if args.upscale != 1:
+                    clip = np.repeat(np.repeat(clip, args.upscale, 1),
+                                     args.upscale, 2)
+                clips.append(clip)
+        results[os.path.basename(d.rstrip("/"))] = face_track_rate(
+            clips, detector, EVAL_TRACK_CONFIG)
+    print(track_rate_report(results, out_dir=args.out_dir))
+
+
 def cmd_bench(args):
     import subprocess
 
@@ -412,6 +586,69 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_sample_frames)
+
+
+    p = sub.add_parser("invert", help="GAN inversion + path animation")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--input-images", nargs="+", required=True)
+    p.add_argument("--input-paths", nargs="*", default=[])
+    p.add_argument("--sample-dir", required=True)
+    p.add_argument("--num-steps", type=int, default=1000)
+    p.add_argument("--learning-rate", type=float, default=0.05)
+    p.add_argument("--lr-decay-frequency", type=int, default=0)
+    p.add_argument("--lr-decay-amount", type=float, default=0.9)
+    p.add_argument("--discriminator-mode", default="inference",
+                   choices=["train", "inference"])
+    p.add_argument("--pixel-l1-weight", type=float, default=0.0)
+    p.add_argument("--pixel-l2-weight", type=float, default=0.0)
+    p.add_argument("--activations-l1-weight", type=float, default=0.0)
+    p.add_argument("--activations-l2-weight", type=float, default=1.0)
+    p.add_argument("--generator-loss-weight", type=float, default=0.0)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--progress-vid-sections", nargs="*", default=[])
+    p.set_defaults(fn=cmd_invert)
+
+    p = sub.add_parser("z-extract", help="dataset -> z trajectories")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--input-directory", required=True)
+    p.add_argument("--output-z-folder", required=True)
+    p.add_argument("--vid-length", type=int, default=16)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--num-initial-steps", type=int, default=500)
+    p.add_argument("--num-steps-per-frame", type=int, default=100)
+    p.add_argument("--learning-rate", type=float, default=0.05)
+    p.add_argument("--pixel-l1-weight", type=float, default=1.0)
+    p.add_argument("--activations-l1-weight", type=float, default=0.3)
+    p.add_argument("--stop-after", type=int, default=None)
+    p.add_argument("--write-comparisons", action="store_true")
+    p.set_defaults(fn=cmd_z_extract)
+
+    p = sub.add_parser("explorer", help="latent explorer web app")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--media-dir", default="/tmp/gifgan_explorer")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.set_defaults(fn=cmd_explorer)
+
+    p = sub.add_parser("webcam-serve", help="webcam demo HTTP service")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--out-dir", default="/tmp/gifgan_webcam")
+    p.add_argument("--paths-dir", default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8081)
+    p.add_argument("--num-steps", type=int, default=1200)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.set_defaults(fn=cmd_webcam_serve)
+
+    p = sub.add_parser("eval-track-rate",
+                       help="face-track-rate metric over sample dirs")
+    p.add_argument("--sample-dirs", nargs="+", required=True)
+    p.add_argument("--cascade", required=True)
+    p.add_argument("--out-dir", default=None)
+    p.add_argument("--limit", type=int, default=250)
+    p.add_argument("--upscale", type=int, default=2)
+    p.set_defaults(fn=cmd_eval_track_rate)
 
     p = sub.add_parser("bench")
     p.set_defaults(fn=cmd_bench)

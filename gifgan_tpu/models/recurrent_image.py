@@ -147,8 +147,7 @@ def _conv_stack(filters, x: Array, act, dtype, t: int = 1) -> Array:
     for w in filters:
         y = jax.lax.conv_general_dilated(
             x.astype(dtype), w.astype(dtype), (2, 2), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
         x = act(moments_norm(y, t))
     return x
 

@@ -61,7 +61,6 @@ def conv2d(params, x: Array, stride: int = 2, dtype=None) -> Array:
         window_strides=(stride, stride),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     return (y + params["b"]).astype(dtype)
 
@@ -85,7 +84,6 @@ def conv3d(params, x: Array, stride: int = 2, dtype=None) -> Array:
         window_strides=(stride, stride, stride),
         padding="SAME",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
     )
     return (y + params["b"]).astype(dtype)
 
@@ -129,7 +127,6 @@ def deconv2d(params, x: Array, stride: int = 2, dtype=None) -> Array:
         padding=(pad, pad),
         lhs_dilation=(stride, stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     return (y + params["b"]).astype(dtype)
 
@@ -148,8 +145,7 @@ def linear_init(key, in_dim: int, out_dim: int, stddev: float = 0.02,
 
 def linear(params, x: Array, dtype=None) -> Array:
     dtype = dtype or x.dtype
-    y = jnp.dot(x.astype(dtype), params["w"].astype(dtype),
-                preferred_element_type=jnp.float32)
+    y = jnp.dot(x.astype(dtype), params["w"].astype(dtype))
     return (y + params["b"]).astype(dtype)
 
 

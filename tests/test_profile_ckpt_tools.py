@@ -1,0 +1,46 @@
+"""Profiler helpers and checkpoint portability tools."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from gifgan_tpu.core import checkpoint as ckpt
+from gifgan_tpu.core import ckpt_tools
+from gifgan_tpu.core.profile import StepTimes, estimate_epoch_hours
+
+
+def test_step_times():
+    st = StepTimes()
+    for _ in range(3):
+        with st.measure() as out:
+            out["result"] = jnp.ones((4,)) * 2
+    s = st.summary(skip=1)
+    assert s["n"] == 2 and s["steps_per_sec"] > 0
+
+
+def test_estimate_epoch_hours():
+    assert abs(estimate_epoch_hours([1.0, 1.0], 3600) - 1.0) < 1e-9
+
+
+def test_export_import_inspect(tmp_path):
+    tree = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3),
+                       "b": np.zeros(3, np.float32)},
+            "step": np.asarray(7)}
+    ckpt.save(str(tmp_path / "ck"), 7, tree)
+
+    npz = ckpt_tools.export_flat(str(tmp_path / "ck"),
+                                 str(tmp_path / "flat.npz"))
+    assert os.path.exists(npz)
+
+    ckpt_tools.import_flat(npz, str(tmp_path / "ck2"))
+    restored = ckpt.restore(str(tmp_path / "ck2"),
+                            {"params": {"w": np.zeros((2, 3), np.float32),
+                                        "b": np.ones(3, np.float32)},
+                             "step": np.asarray(0)})
+    np.testing.assert_array_equal(restored["params"]["w"],
+                                  tree["params"]["w"])
+
+    text = ckpt_tools.inspect(str(tmp_path / "ck"))
+    assert "params/w" in text and "(2, 3)" in text
+    assert "total parameters" in text
