@@ -217,3 +217,34 @@ def serve(backend: WebcamBackend, host: str = "127.0.0.1", port: int = 8081,
         t.start()
         return server
     server.serve_forever()
+
+
+def animate_via_service(url: str, face_u8: np.ndarray,
+                        out_dir: Optional[str] = None,
+                        timeout: float = 600.0) -> Dict:
+    """Client half of the demo: POST a face image to a running webcam
+    service and (optionally) copy the artifacts locally — the HTTP
+    replacement for the reference's scp/ssh round trip
+    (webcam_client.py:229-247)."""
+    import io as _io
+    import shutil
+    from urllib.request import Request, urlopen
+
+    import imageio.v2 as imageio
+
+    buf = _io.BytesIO()
+    imageio.imwrite(buf, face_u8, format="png")
+    req = Request(url.rstrip("/") + "/animate", data=buf.getvalue(),
+                  headers={"Content-Type": "image/png"})
+    with urlopen(req, timeout=timeout) as r:
+        result = json.loads(r.read())
+    if result.get("response") != "success":
+        raise RuntimeError(f"service error: {result.get('msg')}")
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        for key in ("reconstruction", "progress_video"):
+            if result.get(key):
+                shutil.copy(result[key], out_dir)
+        for name, p in (result.get("paths") or {}).items():
+            shutil.copy(p, out_dir)
+    return result
