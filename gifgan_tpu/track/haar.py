@@ -299,3 +299,159 @@ class HaarDetector:
                 else frame.astype(np.float64))
         rects = self.detect_rects(gray)
         return [Detection.from_rect(r, frame_number) for r in rects]
+
+
+# ---------------------------------------------------------------------------
+# JAX-accelerated evaluation: the early (cheap) stages for ALL windows run as
+# one vectorized device program — features gathered from the integral image
+# in bulk, every tree evaluated in parallel, per-stage sums via one matmul
+# with a stage-indicator matrix — then the tiny surviving set goes through
+# the deep stages on host. Window counts are padded to power-of-two buckets
+# so each (bucket, scale) pair compiles once.
+# ---------------------------------------------------------------------------
+
+class JaxStageEvaluator:
+    def __init__(self, cas: HaarCascade, stage_hi: int):
+        import jax
+        import jax.numpy as jnp
+
+        self.cas = cas
+        self.stage_hi = stage_hi
+        t1 = cas.stage_first[stage_hi - 1] + cas.stage_count[stage_hi - 1]
+        self.n_trees = int(t1)
+        feats = np.unique(cas.node_feat[:t1].ravel())
+        self.feats = feats
+        fmap = np.full(cas.rects.shape[0], -1, np.int64)
+        fmap[feats] = np.arange(len(feats))
+        self.local_feat = jnp.asarray(fmap[cas.node_feat[:t1]])  # (T, 2)
+        self.node_thr = jnp.asarray(cas.node_thr[:t1], jnp.float32)
+        self.node_left = jnp.asarray(cas.node_left[:t1])
+        self.node_right = jnp.asarray(cas.node_right[:t1])
+        self.leaves = jnp.asarray(cas.leaves[:t1], jnp.float32)
+        # stage indicator (T, S) and thresholds
+        ind = np.zeros((self.n_trees, stage_hi), np.float32)
+        for s in range(stage_hi):
+            a = cas.stage_first[s]
+            ind[a:a + cas.stage_count[s], s] = 1.0
+        self.stage_ind = jnp.asarray(ind)
+        self.stage_thr = jnp.asarray(cas.stage_thr[:stage_hi], jnp.float32)
+        self._jit_cache = {}
+
+    def _build(self, scale: float):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        cas = self.cas
+        rs = _scaled_rects(cas, scale)[self.feats]  # (Fsub, 3, 5)
+        rx = jnp.asarray(rs[:, :, 0], jnp.int32)
+        ry = jnp.asarray(rs[:, :, 1], jnp.int32)
+        rw = jnp.asarray(rs[:, :, 2], jnp.int32)
+        rh = jnp.asarray(rs[:, :, 3], jnp.int32)
+        wt = jnp.asarray(rs[:, :, 4], jnp.float32)
+        ww = int(round(cas.window_w * scale))
+        wh = int(round(cas.window_h * scale))
+        inv_area = 1.0 / (ww * wh)
+
+        lf, thr = self.local_feat, self.node_thr
+        nl, nr, leaves = self.node_left, self.node_right, self.leaves
+        stage_ind, stage_thr = self.stage_ind, self.stage_thr
+
+        @jax.jit
+        def evaluate(ii, ii2, xs, ys, valid):
+            # window normalization factor
+            s1 = (ii[ys, xs] + ii[ys + wh, xs + ww]
+                  - ii[ys, xs + ww] - ii[ys + wh, xs])
+            s2 = (ii2[ys, xs] + ii2[ys + wh, xs + ww]
+                  - ii2[ys, xs + ww] - ii2[ys + wh, xs])
+            mean = s1 * inv_area
+            var = s2 * inv_area - mean * mean
+            nf = jnp.where(var > 0, jnp.sqrt(jnp.maximum(var, 0.0)), 1.0)
+
+            # feature values: (W, Fsub)
+            x1 = xs[:, None, None] + rx
+            y1 = ys[:, None, None] + ry
+            x2, y2 = x1 + rw, y1 + rh
+            sums = ii[y1, x1] + ii[y2, x2] - ii[y1, x2] - ii[y2, x1]
+            fvals = (sums * wt).sum(axis=2) * inv_area   # (W, Fsub)
+
+            f0 = fvals[:, lf[:, 0]]                      # (W, T)
+            f1 = fvals[:, lf[:, 1]]
+            nfc = nf[:, None]
+            child = jnp.where(f0 < thr[None, :, 0] * nfc, nl[None, :, 0],
+                              nr[None, :, 0])
+            leaf_n1 = jnp.where(f1 < thr[None, :, 1] * nfc, -nl[None, :, 1],
+                                -nr[None, :, 1])
+            leaf_idx = jnp.where(child <= 0, -child, leaf_n1)  # (W, T)
+            vals = jnp.take_along_axis(
+                jnp.broadcast_to(leaves[None], (xs.shape[0],) + leaves.shape),
+                leaf_idx[:, :, None], axis=2)[:, :, 0]
+            stage_sums = vals @ stage_ind                # (W, S)
+            alive = jnp.all(stage_sums >= stage_thr[None, :], axis=1)
+            return alive & valid
+
+        return evaluate
+
+    def __call__(self, ii, ii2, xs: np.ndarray, ys: np.ndarray,
+                 scale: float) -> np.ndarray:
+        import jax.numpy as jnp
+
+        n = len(xs)
+        bucket = 1 << max(6, (n - 1).bit_length())
+        key = (scale, bucket)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build(scale)
+        xs_p = np.zeros(bucket, np.int32)
+        ys_p = np.zeros(bucket, np.int32)
+        xs_p[:n], ys_p[:n] = xs, ys
+        valid = np.zeros(bucket, bool)
+        valid[:n] = True
+        alive = self._jit_cache[key](jnp.asarray(ii, jnp.float32),
+                                     jnp.asarray(ii2, jnp.float32),
+                                     jnp.asarray(xs_p), jnp.asarray(ys_p),
+                                     jnp.asarray(valid))
+        return np.asarray(alive)[:n]
+
+
+class JaxHaarDetector(HaarDetector):
+    """HaarDetector with the early stages evaluated on-device (JAX) for all
+    windows at once; survivors finish on host. Same detections as the numpy
+    path (float32 vs float64 rounding aside)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._jax_eval = JaxStageEvaluator(self.cas, self.early_stages)
+
+    def detect_rects(self, gray: np.ndarray) -> np.ndarray:
+        cas = self.cas
+        h, w = gray.shape[:2]
+        side = math.sqrt(h * w)
+        max_len = side * self.max_size_factor
+        ii, ii2 = integral_images(gray)
+
+        candidates = []
+        scale = max(self.min_size / cas.window_w, 1.0)
+        while True:
+            ww = int(round(cas.window_w * scale))
+            wh = int(round(cas.window_h * scale))
+            if ww > min(w, max_len) or wh > min(h, max_len):
+                break
+            stride = max(2, int(round(scale)))
+            xs0 = np.arange(0, w - ww, stride)
+            ys0 = np.arange(0, h - wh, stride)
+            gx, gy = np.meshgrid(xs0, ys0)
+            xs, ys = gx.ravel().astype(np.int32), gy.ravel().astype(np.int32)
+            if len(xs):
+                alive = self._jax_eval(ii, ii2, xs, ys, scale)
+                if alive.any():
+                    xs2, ys2 = xs[alive], ys[alive]
+                    rs = _scaled_rects(cas, scale)
+                    alive2 = _eval_stages(cas, ii, ii2, xs2, ys2, scale,
+                                          self.early_stages,
+                                          len(cas.stage_thr), rs)
+                    for x, y in zip(xs2[alive2], ys2[alive2]):
+                        candidates.append((x, y, ww, wh))
+            scale *= self.scale_factor
+        return group_rectangles(np.asarray(candidates, np.int64)
+                                .reshape(-1, 4), self.min_neighbors)
