@@ -480,6 +480,51 @@ def cmd_eval_track_rate(args):
     print(track_rate_report(results, out_dir=args.out_dir))
 
 
+
+
+def cmd_face_detect(args):
+    """Single-image face detection with best-face ranking and MSSIM search
+    (the facedetect.py tool: --best / --biggest / --query+--search)."""
+    import imageio.v2 as imageio
+
+    import jax.numpy as jnp
+
+    from gifgan_tpu.track.detect import default_detector, mssim, rank_faces
+
+    detector = default_detector(cascade_path=args.cascade, min_neighbors=3,
+                                min_size=args.min_size)
+    frame = np.asarray(imageio.imread(args.image))[..., :3]
+    dets = detector(frame, 0)
+    if not dets:
+        print(json.dumps({"faces": []}))
+        return
+    boxes = np.array([[d.x1, d.y1, d.x2, d.y2] for d in dets])
+
+    import jax
+
+    crops = jnp.stack([
+        jax.image.resize(jnp.asarray(
+            frame[d.y1:d.y2 + 1, d.x1:d.x2 + 1], jnp.float32),
+            (64, 64, 3), method="linear")
+        for d in dets])
+    out = {"faces": boxes.tolist()}
+    if args.best:
+        scores = rank_faces(crops, boxes, frame.shape)
+        out["best"] = boxes[int(np.argmax(scores))].tolist()
+        out["scores"] = [float(s) for s in scores]
+    if args.biggest:
+        areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        out["biggest"] = boxes[int(np.argmax(areas))].tolist()
+    if args.query:
+        q = np.asarray(imageio.imread(args.query))[..., :3]
+        q64 = jax.image.resize(jnp.asarray(q, jnp.float32), (64, 64, 3),
+                               method="linear")
+        sims = mssim(jnp.broadcast_to(q64[None], crops.shape), crops)
+        out["most_similar"] = boxes[int(np.argmax(np.asarray(sims)))].tolist()
+        out["similarities"] = [float(s) for s in np.asarray(sims)]
+    print(json.dumps(out))
+
+
 def cmd_bench(args):
     import subprocess
 
@@ -649,6 +694,17 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=250)
     p.add_argument("--upscale", type=int, default=2)
     p.set_defaults(fn=cmd_eval_track_rate)
+
+    p = sub.add_parser("face-detect",
+                       help="detect/rank faces in a single image")
+    p.add_argument("--image", required=True)
+    p.add_argument("--cascade", required=True)
+    p.add_argument("--min-size", type=int, default=20)
+    p.add_argument("--best", action="store_true")
+    p.add_argument("--biggest", action="store_true")
+    p.add_argument("--query", default=None,
+                   help="face image to search for (MSSIM)")
+    p.set_defaults(fn=cmd_face_detect)
 
     p = sub.add_parser("bench")
     p.set_defaults(fn=cmd_bench)

@@ -183,3 +183,39 @@ def test_webcam_backend(tmp_path, key):
     assert set(result["paths"]) == {"smile", "frown"}
     assert all(os.path.exists(p) for p in result["paths"].values())
     assert np.isfinite(result["final_loss"])
+
+
+def test_capture_face_with_injected_frames():
+    from gifgan_tpu.serve.webcam import capture_face
+    from gifgan_tpu.track.boxes import Detection
+
+    frames = []
+    f = np.zeros((100, 120, 3), np.uint8)
+    f[30:70, 40:80] = 180
+    frames = [(f, False), (f, True)]  # accept only the second
+
+    def det(frame, i):
+        return [Detection(40, 30, 80, 70, i)]
+
+    face, box = capture_face(iter(frames), det, target_size=32)
+    assert face.shape == (32, 32, 3)
+    assert box.frame_number == 1
+    assert face.mean() > 50  # captured the bright region
+
+    # no acceptance -> None
+    face2, box2 = capture_face(iter([(f, False)]), det, target_size=32)
+    assert face2 is None and box2 is None
+
+
+def test_process_shard():
+    from gifgan_tpu.parallel.distributed import (global_batch_to_local,
+                                                 process_shard)
+
+    items = list(range(10))
+    shards = [process_shard(items, i, 3) for i in range(3)]
+    assert sorted(sum(shards, [])) == items
+    assert global_batch_to_local(64, 8) == 8
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        global_batch_to_local(10, 3)
