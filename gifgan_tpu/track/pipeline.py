@@ -39,30 +39,30 @@ except Exception:  # pragma: no cover
 
 def crop_and_resize_tracks(frames: np.ndarray, tracks: List[B.Track],
                            target: int) -> List[np.ndarray]:
-    """Crop every detection's box and resize to (target, target) — batched on
-    device per track via jax.image (replaces the per-frame cv2.resize loop,
-    track_faces.py:593-641 + get_crop :1037)."""
-    import jax
+    """Crop every detection's box and resize to (target, target): ALL crops
+    of ALL tracks in one shape-static device program, regardless of per-box
+    sizes (kernels.crop_resize) — replacing the reference's per-frame
+    cv2.resize loop (track_faces.py:593-641 + get_crop :1037)."""
     import jax.numpy as jnp
 
-    out = []
+    from gifgan_tpu.kernels.crop_resize import crop_resize_bilinear
+
+    if not tracks:
+        return []
+    all_boxes, all_fidx, lengths = [], [], []
     for track in tracks:
-        crops = []
         for d in track:
-            crop = frames[d.frame_number, d.y1:d.y2 + 1, d.x1:d.x2 + 1]
-            crops.append(crop)
-        if len({c.shape for c in crops}) == 1:
-            batch = jnp.asarray(np.stack(crops), jnp.float32)
-            resized = jax.image.resize(
-                batch, (len(crops), target, target, batch.shape[-1]),
-                method="linear")
-        else:  # boxes changed size over the track: resize individually
-            resized = jnp.stack([
-                jax.image.resize(jnp.asarray(c, jnp.float32),
-                                 (target, target, c.shape[-1]),
-                                 method="linear")
-                for c in crops])
-        out.append(np.clip(np.asarray(resized), 0, 255).astype(np.uint8))
+            all_boxes.append((d.y1, d.x1, d.y2, d.x2))
+            all_fidx.append(d.frame_number)
+        lengths.append(len(track))
+    crops = crop_resize_bilinear(
+        jnp.asarray(frames), jnp.asarray(all_fidx, jnp.int32),
+        jnp.asarray(all_boxes, jnp.float32), target)
+    crops = np.clip(np.asarray(crops), 0, 255).astype(np.uint8)
+    out, pos = [], 0
+    for ln in lengths:
+        out.append(crops[pos:pos + ln])
+        pos += ln
     return out
 
 

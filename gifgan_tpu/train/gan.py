@@ -219,3 +219,20 @@ def cond_sample_step(ts: CondTrainState, z: Array, y: Array,
     x, _ = dcgan.generator_cond(ts.params.generator, ts.state.generator,
                                 z, y, cfg, train=False)
     return x
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tcfg"), donate_argnums=(0,))
+def train_chunk(ts: TrainState, images_stack: Array, z_stack: Array, rng,
+                cfg: DCGANConfig, tcfg: TrainConfig) -> Tuple[TrainState, Dict]:
+    """K image-GAN train steps as one XLA program (lax.scan) — amortizes the
+    per-step host dispatch (see train/vid.py train_chunk for measurements).
+    images_stack (K, B, s, s, c); z_stack (K, B, z)."""
+    k = z_stack.shape[0]
+    keys = jax.random.split(rng, k)
+
+    def body(ts, xs):
+        images, z, key = xs
+        ts, metrics = train_step.__wrapped__(ts, images, z, key, cfg, tcfg)
+        return ts, metrics
+
+    return jax.lax.scan(body, ts, (images_stack, z_stack, keys))

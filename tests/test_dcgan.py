@@ -79,3 +79,15 @@ def test_instance_noise_path(key):
     z = jax.random.uniform(key, (8, 16), minval=-1, maxval=1)
     ts, metrics = gan.train_step(ts, images, z, key, cfg, tcfg)
     assert np.isfinite(float(metrics["d_loss"]))
+
+
+def test_train_chunk(key):
+    tcfg = TrainConfig(batch_size=8)
+    ts = gan.init_train_state(key, CFG, tcfg)
+    K = 3
+    images = jnp.tanh(jax.random.normal(key, (K, 8, 32, 32, 1)))
+    z = jax.random.uniform(key, (K, 8, 16), minval=-1, maxval=1)
+    ts, metrics = gan.train_chunk(ts, images, z, key, CFG, tcfg)
+    assert int(ts.step) == K
+    assert metrics["d_loss"].shape == (K,)
+    assert np.isfinite(np.asarray(metrics["g_loss"])).all()

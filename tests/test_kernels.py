@@ -49,3 +49,26 @@ def test_pallas_upscale_and_no_normalize():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
     # no normalize -> still in [0, 255]
     assert out.min() >= 0.0 and out.max() <= 255.0
+
+
+def test_crop_resize_bilinear_matches_resize_ref():
+    from gifgan_tpu.kernels.crop_resize import crop_resize_bilinear
+
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(rng.integers(0, 255, (2, 40, 50, 3), np.uint8))
+    # full-frame box must equal plain resize (same half-pixel convention)
+    boxes = jnp.asarray([[0, 0, 39, 49]], jnp.float32)
+    out = crop_resize_bilinear(frames, jnp.asarray([1]), boxes, 16)
+    ref = resize_normalize_ref(frames[1:2], 16, 16, normalize=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+    # arbitrary differing boxes in one call, no recompile per shape
+    boxes2 = jnp.asarray([[5, 5, 20, 30], [0, 10, 39, 19], [2, 2, 3, 3]],
+                         jnp.float32)
+    out2 = crop_resize_bilinear(frames, jnp.asarray([0, 1, 0]), boxes2, 16)
+    assert out2.shape == (3, 16, 16, 3)
+    # constant-region crop reproduces the constant
+    const = jnp.full((1, 8, 8, 1), 77.0)
+    out3 = crop_resize_bilinear(const, jnp.asarray([0]),
+                                jnp.asarray([[2, 2, 6, 6]], jnp.float32), 4)
+    np.testing.assert_allclose(np.asarray(out3), 77.0, atol=1e-4)
