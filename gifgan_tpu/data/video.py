@@ -197,3 +197,50 @@ def video_to_gif(in_path: str, out_path: str, fps: float = 8.0) -> None:
     if clip is None:
         raise RuntimeError(f"could not decode {in_path}")
     write_gif(out_path, clip, fps=fps)
+
+
+def video_to_frames(video_path: str, out_dir: str, rate: float,
+                    detector=None, crop_size: int = 108,
+                    prefix: str = "frame") -> dict:
+    """Extract frames at `rate` fps; when a detector is given, keep only
+    frames with a face and crop a fixed crop_size box around the best face's
+    center, deleting no-face frames (reference video_to_frames.py:53-91 which
+    shelled to ffmpeg + facedetect.py --best)."""
+    import imageio.v2 as imageio
+
+    if not HAVE_CV2:
+        raise RuntimeError("cv2 unavailable")
+    os.makedirs(out_dir, exist_ok=True)
+    cap = cv2.VideoCapture(video_path)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+    step = max(1, int(round(fps / rate)))
+    stats = {"frames": 0, "kept": 0, "no_face": 0}
+    i = out_i = 0
+    while cap.isOpened():
+        ret, im = cap.read()
+        if not ret:
+            break
+        if i % step == 0:
+            stats["frames"] += 1
+            rgb = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+            keep = rgb
+            if detector is not None:
+                dets = detector(rgb, i)
+                if not dets:
+                    stats["no_face"] += 1
+                    i += 1
+                    continue
+                best = max(dets, key=lambda d: d.width * d.height)
+                cx = (best.x1 + best.x2) // 2
+                cy = (best.y1 + best.y2) // 2
+                half = crop_size // 2
+                y0 = min(max(cy - half, 0), max(rgb.shape[0] - crop_size, 0))
+                x0 = min(max(cx - half, 0), max(rgb.shape[1] - crop_size, 0))
+                keep = rgb[y0:y0 + crop_size, x0:x0 + crop_size]
+            imageio.imwrite(os.path.join(out_dir,
+                                         f"{prefix}_{out_i:06d}.png"), keep)
+            out_i += 1
+            stats["kept"] += 1
+        i += 1
+    cap.release()
+    return stats

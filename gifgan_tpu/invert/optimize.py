@@ -299,3 +299,23 @@ def apply_latent_path(params, state, z: Array, path: np.ndarray,
         return imgs
 
     return jax.lax.map(frame, deltas)
+
+
+def broadcast_z_forward(zs: Array, from_frame: int, vid_length: int) -> Array:
+    """Copy frame `from_frame`'s latent forward to all later frames of each
+    video — the whole-video inverter's interactive z-broadcast op
+    (…_optimizer_video.py:216-239, incl. the hardcoded step-500 broadcast
+    from frame 0). zs is time-folded (V*T, z_dim)."""
+    v = zs.shape[0] // vid_length
+    z3 = zs.reshape(v, vid_length, -1)
+    src = z3[:, from_frame:from_frame + 1, :]
+    t_idx = jnp.arange(vid_length)[None, :, None]
+    out = jnp.where(t_idx >= from_frame, src, z3)
+    return out.reshape(zs.shape)
+
+
+def tween_z(z_a: Array, z_b: Array, steps: int) -> Array:
+    """Linear z interpolation (the inverters' tween outputs,
+    …_optimizer_video.py:250-287): (steps, *z.shape)."""
+    w = jnp.linspace(0.0, 1.0, steps)[:, None]
+    return z_a[None] * (1 - w) + z_b[None] * w
