@@ -101,14 +101,21 @@ def process_video(frames: np.ndarray, detector: Callable,
     gray = (np.dot(frames[..., :3].astype(np.float32),
                    [0.299, 0.587, 0.114]).astype(np.uint8)
             if frames.shape[-1] == 3 else frames[..., 0])
-    stable = S.stabilize_tracks(
-        list(gray), tracks, frame_size, cfg.min_frame_count,
-        target_aspect=1.0,
-        flow_backend=lambda a, b: S.cv2_flow_backend(
+    if _HAVE_CV2:
+        flow_backend = lambda a, b: S.cv2_flow_backend(
             a, b, cfg.max_corners, cfg.corner_quality,
             cfg.corner_min_distance, win_size=cfg.lk_window,
-            max_level=cfg.lk_levels) if _HAVE_CV2 else (np.zeros((0, 2)),) * 2,
-        stats=stats)
+            max_level=cfg.lk_levels)
+    else:  # pure-JAX Shi-Tomasi + pyramidal LK (track/flow_jax.py)
+        from gifgan_tpu.track.flow_jax import jax_flow_backend
+
+        flow_backend = lambda a, b: jax_flow_backend(
+            a, b, cfg.max_corners, cfg.corner_quality,
+            cfg.corner_min_distance, win_size=cfg.lk_window,
+            max_level=cfg.lk_levels)
+    stable = S.stabilize_tracks(
+        list(gray), tracks, frame_size, cfg.min_frame_count,
+        target_aspect=1.0, flow_backend=flow_backend, stats=stats)
     stable = [s for s in stable if s is not None]
 
     stats.cnt_detections_kept += sum(
