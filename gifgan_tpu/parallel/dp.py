@@ -37,12 +37,15 @@ def shard_batch_arrays(mesh: Mesh, *arrays):
 
 
 def make_sharded_step(step_fn: Callable, mesh: Mesh, *, static_args: dict,
-                      donate_state: bool = True) -> Callable:
+                      donate_state: bool = True,
+                      batch_axis: int = 0) -> Callable:
     """Wrap a (ts, *batch_arrays, rng, **static) step into a pjit'd function
     with explicit shardings: state replicated, batch data-sharded, rng
     replicated.
 
     step_fn signature: (ts, *arrays, rng, **static_args) -> (ts, metrics).
+    batch_axis: which array axis shards over the mesh `data` axis — 0 for
+    plain (B, ...) batches, 1 for chunked (K, B, ...) stacks (train_chunk).
     """
     rep = replicated_sharding(mesh)
     # unwrap an already-jitted step so we re-jit with explicit shardings
@@ -52,10 +55,15 @@ def make_sharded_step(step_fn: Callable, mesh: Mesh, *, static_args: dict,
         *arrays, rng = args
         return step_fn(ts, *arrays, rng, **static_args)
 
+    def _batch_sharding(a):
+        spec = [None] * a.ndim
+        spec[batch_axis] = DATA_AXIS
+        return NamedSharding(mesh, P(*spec))
+
     def in_shardings(ts, *args):
         *arrays, rng = args
         ts_sh = jax.tree_util.tree_map(lambda _: rep, ts)
-        arr_sh = tuple(data_sharding(mesh, ndim=a.ndim) for a in arrays)
+        arr_sh = tuple(_batch_sharding(a) for a in arrays)
         return (ts_sh,) + arr_sh + (rep,)
 
     compiled_cache = {}

@@ -78,3 +78,28 @@ def test_sharded_vid_step_runs(key):
     # params stay replicated after the step
     leaf = jax.tree_util.tree_leaves(ts.params.vid_generator)[0]
     assert leaf.sharding.spec == P()
+
+
+def test_sharded_chunked_vid_training(key):
+    """Chunked K-step training sharded over the mesh: (K, B*T, ...) stacks
+    with the batch axis (1) on the data axis."""
+    from jax.sharding import NamedSharding
+
+    mesh = make_mesh(data_parallel=8)
+    cfg = VidGANConfig(z_input_size=20, z_output_size=16, vid_length=4,
+                       hidden_dim=32, d_filters=16, image_gan=IMG)
+    tcfg = TrainConfig(batch_size=8, gen_updates=1)
+    ts = shard_train_state(mesh, vid_train.init_train_state(key, cfg, tcfg))
+    K = 2
+    frames = np.tanh(np.random.default_rng(0).standard_normal(
+        (K, 8 * 4, 32, 32, 1))).astype(np.float32)
+    z = np.random.default_rng(1).uniform(-1, 1, (K, 8, 20)).astype(np.float32)
+    frames_s = jax.device_put(frames, NamedSharding(mesh, P(None, DATA_AXIS,
+                                                            None, None, None)))
+    z_s = jax.device_put(z, NamedSharding(mesh, P(None, DATA_AXIS, None)))
+    step = make_sharded_step(vid_train.train_chunk, mesh,
+                             static_args={"cfg": cfg, "tcfg": tcfg},
+                             batch_axis=1)
+    ts, m = step(ts, frames_s, z_s, jax.random.PRNGKey(0))
+    assert int(np.asarray(jax.device_get(ts.step))) == K
+    assert np.isfinite(np.asarray(jax.device_get(m["d_loss"]))).all()
