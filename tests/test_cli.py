@@ -1,0 +1,104 @@
+"""CLI integration tests: drive the argparse surface end-to-end on CPU with
+tiny budgets."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gifgan_tpu import cli
+
+
+def _run(argv):
+    cli.main(argv)
+
+
+SMALL_MODEL = ["--output-size", "32", "--z-dim", "12", "--gf-dim", "8",
+               "--df-dim", "8"]
+SMALL_TRAIN = ["--batch-size", "8", "--epochs", "2", "--sample-every", "0",
+               "--checkpoint-every", "0", "--steps-limit", "2",
+               "--data-parallel", "1", "--dataset", "synthetic",
+               "--dataset-size", "16"]
+
+
+def test_cli_train_dcgan_then_invert(tmp_path):
+    pytest.importorskip("imageio")
+    run_dir = str(tmp_path / "img")
+    _run(["train-dcgan", "--run-dir", run_dir, "--c-dim", "3"]
+         + SMALL_MODEL + SMALL_TRAIN)
+    assert os.path.exists(os.path.join(run_dir, "params.json"))
+    ckpt = os.path.join(run_dir, "checkpoints")
+    assert os.path.isdir(ckpt)
+
+    # invert a target image against the trained checkpoint
+    import imageio.v2 as imageio
+
+    target = str(tmp_path / "target.png")
+    imageio.imwrite(target, np.random.default_rng(0).integers(
+        0, 255, (32, 32, 3), np.uint8))
+    path_file = str(tmp_path / "path.npy")
+    np.save(path_file, np.random.default_rng(1).uniform(
+        -0.2, 0.2, (3, 12)).astype(np.float32))
+    sample_dir = str(tmp_path / "inv")
+    _run(["invert", "--checkpoint", ckpt, "--input-images", target,
+          "--input-paths", path_file, "--sample-dir", sample_dir,
+          "--num-steps", "6", "--batch-size", "4",
+          "--pixel-l1-weight", "1.0", "--activations-l1-weight", "0.3"])
+    assert os.path.exists(os.path.join(sample_dir, "z.npy"))
+    try:
+        import cv2  # noqa: F401
+
+        assert os.path.exists(os.path.join(sample_dir, "path_00.mp4"))
+    except ImportError:
+        pass
+
+
+def test_cli_train_vid_and_sample_wall(tmp_path):
+    pytest.importorskip("cv2")
+    run_dir = str(tmp_path / "vid")
+    _run(["train-vid", "--run-dir", run_dir, "--c-dim", "3",
+          "--vid-z-dim", "16", "--vid-length", "4",
+          "--first-frame-loss-scalar", "1.0"] + SMALL_MODEL + SMALL_TRAIN)
+    wall = str(tmp_path / "wall")
+    _run(["sample-wall", "--checkpoint", os.path.join(run_dir, "checkpoints"),
+          "--out-dir", wall, "--batch-size", "4", "--num-batches", "1"])
+    gifs = [f for f in os.listdir(wall) if f.endswith(".gif")]
+    assert len(gifs) == 4
+
+
+def test_cli_train_recurrent(tmp_path):
+    run_dir = str(tmp_path / "rec")
+    _run(["train-recurrent", "--run-dir", run_dir, "--c-dim", "3",
+          "--vid-length", "4", "--lstm-units", "16"]
+         + SMALL_MODEL + SMALL_TRAIN)
+    assert os.path.isdir(os.path.join(run_dir, "checkpoints"))
+
+
+def test_cli_sample_frames_and_stats(tmp_path, capsys):
+    pytest.importorskip("cv2")
+    from gifgan_tpu.data.synthetic import synthetic_clip
+    from gifgan_tpu.data.video import encode_mp4
+
+    ind = tmp_path / "vids"
+    ind.mkdir()
+    encode_mp4(str(ind / "a.mp4"), synthetic_clip(0, 12, 48))
+    outd = str(tmp_path / "frames")
+    _run(["sample-frames", "--input-directory", str(ind),
+          "--output-directory", outd, "--frames-per-video", "3",
+          "--size", "32"])
+    assert len(os.listdir(outd)) == 3
+
+    # combine-stats over two shard outputs
+    from gifgan_tpu.track.stats import TrackStats
+
+    s1, s2 = TrackStats(), TrackStats()
+    s1.cnt_total_detections = 2
+    s2.cnt_total_detections = 5
+    s1.write(str(tmp_path / "sh1"))
+    s2.write(str(tmp_path / "sh2"))
+    _run(["combine-stats", str(tmp_path / "sh1" / "stats.json"),
+          str(tmp_path / "sh2" / "stats.json"),
+          "--out-dir", str(tmp_path / "combined")])
+    out = capsys.readouterr().out
+    assert "cnt_total_detections: 7" in out
