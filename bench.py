@@ -7,7 +7,8 @@ img_z 100, 1 D + 2 G updates per step (model.py:226-239).
 Execution: bfloat16 activations (identical loss trajectories to float32,
 measured), K steps chained into one XLA program via lax.scan (per-step host
 dispatch through the device runtime otherwise costs as much as the math:
-18.7 -> 37.2 steps/s measured on one v5e chip).
+18.7 steps/s per-step vs 35.7 via this bench / 37.2 in an isolated
+scan-timing probe, one v5e chip).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline compares against the reference-path CPU baseline recorded in
