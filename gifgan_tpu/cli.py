@@ -18,12 +18,18 @@ import numpy as np
 
 
 def _mesh_arg(args):
-    if getattr(args, "data_parallel", 0) in (0, 1) and not getattr(
-            args, "mesh", False):
+    """--data-parallel semantics: 0 = all devices (mesh skipped when only one
+    device exists), 1 = explicitly no mesh, N>1 = N-way data parallel."""
+    dp = getattr(args, "data_parallel", 0)
+    if dp == 1:
+        return None
+    import jax
+
+    if dp == 0 and len(jax.devices()) == 1:
         return None
     from gifgan_tpu.core.mesh import make_mesh
 
-    return make_mesh(data_parallel=getattr(args, "data_parallel", 0))
+    return make_mesh(data_parallel=dp)
 
 
 def _dcgan_cfg(args):
@@ -224,7 +230,8 @@ def cmd_sample_wall(args):
 
     cfg, sample_fn = _load_vid_sampler(args)
     n = gif_wall(sample_fn, cfg.z_input_size, args.out_dir,
-                 batch_size=args.batch_size, num_batches=args.num_batches,
+                 batch_size=args.batch_size,
+                 num_batches=None if args.continuous else args.num_batches,
                  continuous=args.continuous, fps=args.fps, seed=args.seed)
     print(f"wrote {n} gifs to {args.out_dir}")
 
@@ -369,7 +376,9 @@ def cmd_invert(args):
     np.save(os.path.join(args.sample_dir, "z.npy"), np.asarray(z))
     final = np.asarray(frames[-1]) if frames else None
     if final is not None:
-        u8 = np.clip(np.round((final[0] + 1) * 127.5), 0, 255).astype(np.uint8)
+        from gifgan_tpu.ops.image import denorm_u8
+
+        u8 = denorm_u8(final[0])
         imageio.imwrite(os.path.join(args.sample_dir, "final.png"), u8)
     print(f"final loss: {losses[-1]:.6f}")
 
@@ -386,7 +395,9 @@ def cmd_invert(args):
                     path_zs = _np.asarray(eval(f.read()))
             vid = np.asarray(apply_latent_path(params, state, z[:1],
                                                path_zs, cfg))[:, 0]
-            u8 = np.clip(np.round((vid + 1) * 127.5), 0, 255).astype(np.uint8)
+            from gifgan_tpu.ops.image import denorm_u8
+
+            u8 = denorm_u8(vid)
             encode_mp4(os.path.join(args.sample_dir, f"path_{i:02d}.mp4"), u8)
     print("wrote", args.sample_dir)
 

@@ -1,9 +1,10 @@
 """Structured metrics & run logging.
 
 The reference logs via stdout prints + TF summaries (SURVEY.md §5.5). Here:
-JSONL metrics stream per run dir (machine-readable), stdout mirror, and a
-step timer that reports steps/sec — replacing the reference's post-hoc
-`time:`-field log scraping (models/recurrent_z/time_script.py:6-18).
+JSONL metrics stream per run dir (machine-readable), stdout mirror, and live
+steps/sec — replacing the reference's post-hoc `time:`-field log scraping
+(models/recurrent_z/time_script.py:6-18). Per-step device timing lives in
+core.profile.StepTimes (the relay-safe scalar-fetch sync).
 """
 
 from __future__ import annotations
@@ -61,33 +62,3 @@ class MetricsLogger:
     def close(self):
         if self._file:
             self._file.close()
-
-
-class StepTimer:
-    """Blocking step timer: call stop(result) with a device array to include
-    device time (jax.block_until_ready)."""
-
-    def __init__(self):
-        self.times = []
-        self._t = None
-
-    def start(self):
-        self._t = time.perf_counter()
-
-    def stop(self, result=None) -> float:
-        if result is not None:
-            jax.block_until_ready(result)
-        dt = time.perf_counter() - self._t
-        self.times.append(dt)
-        return dt
-
-    def summary(self, skip_first: int = 1) -> Dict[str, float]:
-        ts = self.times[skip_first:] if len(self.times) > skip_first else self.times
-        arr = np.asarray(ts)
-        return {
-            "mean_s": float(arr.mean()),
-            "p50_s": float(np.percentile(arr, 50)),
-            "min_s": float(arr.min()),
-            "steps_per_sec": float(1.0 / arr.mean()),
-            "n": len(ts),
-        }

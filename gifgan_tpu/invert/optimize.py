@@ -41,9 +41,17 @@ Array = jax.Array
 
 
 class InversionProblem(NamedTuple):
-    """A closed-over loss: z -> (scalar loss, generated images)."""
-    loss_fn: Callable[[Array], Tuple[Array, Array]]
+    """A loss split into a STATIC callable (hashable jit key — shared across
+    calls so the optimization scan compiles once per problem kind + shapes,
+    not once per invert() call) and DYNAMIC data (params/targets pytree,
+    traced): loss = kind_fn(z, dynamic) -> (scalar loss, generated images)."""
+    kind: str                       # key into _PROBLEM_KINDS
+    statics: tuple                  # hashable extras (cfg, weights, flags)
+    dynamic: tuple                  # traced pytree (params, state, targets, …)
     z_shape: Tuple[int, ...]
+
+    def loss_fn(self, z):
+        return _PROBLEM_KINDS[self.kind](z, self.dynamic, *self.statics)
 
 
 def normalized_weights(icfg: InvertConfig) -> Dict[str, float]:
@@ -88,6 +96,17 @@ def target_activations(params: dcgan.DCGANParams, state: dcgan.DCGANState,
     return acts
 
 
+def _image_loss(z, dynamic, cfg, w_items, train_mode):
+    params, state, targets, t_acts = dynamic
+    w = dict(w_items)
+    imgs, _ = dcgan.generator(params.generator, state.generator, z, cfg,
+                              train=train_mode)
+    logits, acts, _ = dcgan.discriminator(
+        params.discriminator, state.discriminator, imgs, cfg,
+        train=train_mode)
+    return _weighted_loss(imgs, acts, logits, targets, t_acts, w), imgs
+
+
 def image_problem(params: dcgan.DCGANParams, state: dcgan.DCGANState,
                   targets: Array, cfg: DCGANConfig, icfg: InvertConfig,
                   ) -> InversionProblem:
@@ -95,16 +114,10 @@ def image_problem(params: dcgan.DCGANParams, state: dcgan.DCGANState,
     w = normalized_weights(icfg)
     train_mode = icfg.use_train_mode_activations
     t_acts = target_activations(params, state, targets, cfg, train_mode)
-
-    def loss_fn(z):
-        imgs, _ = dcgan.generator(params.generator, state.generator, z, cfg,
-                                  train=train_mode)
-        logits, acts, _ = dcgan.discriminator(
-            params.discriminator, state.discriminator, imgs, cfg,
-            train=train_mode)
-        return _weighted_loss(imgs, acts, logits, targets, t_acts, w), imgs
-
-    return InversionProblem(loss_fn, (targets.shape[0], cfg.z_dim))
+    return InversionProblem(
+        "image", (cfg, tuple(sorted(w.items())), train_mode),
+        (params, state, targets, t_acts),
+        (targets.shape[0], cfg.z_dim))
 
 
 def nested_first_frame_problem(params: vid_dcgan.VidGANParams,
@@ -120,18 +133,30 @@ def nested_first_frame_problem(params: vid_dcgan.VidGANParams,
         dcgan.DCGANParams(params.img_generator, params.img_discriminator),
         dcgan.DCGANState(state.img_generator, state.img_discriminator),
         targets, icf, train_mode=False)
+    return InversionProblem(
+        "nested_first_frame", (cfg, tuple(sorted(w.items()))),
+        (params, state, targets, t_acts),
+        (targets.shape[0], cfg.z_input_size))
 
-    def loss_fn(z):
-        frames, _, _, _ = vid_dcgan.generate_videos(params, state, z, cfg,
-                                                    train=False)
-        logits, acts, _ = dcgan.discriminator(
-            params.img_discriminator, state.img_discriminator, frames, icf,
-            train=False)
-        t = cfg.vid_length
-        return _weighted_loss(frames[::t], acts[::t], logits[::t],
-                              targets, t_acts, w), frames
 
-    return InversionProblem(loss_fn, (targets.shape[0], cfg.z_input_size))
+def _nested_first_frame_loss(z, dynamic, cfg, w_items):
+    params, state, targets, t_acts = dynamic
+    w = dict(w_items)
+    icf = cfg.image_gan
+    frames, _, _, _ = vid_dcgan.generate_videos(params, state, z, cfg,
+                                                train=False)
+    logits, acts, _ = dcgan.discriminator(
+        params.img_discriminator, state.img_discriminator, frames, icf,
+        train=False)
+    t = cfg.vid_length
+    return _weighted_loss(frames[::t], acts[::t], logits[::t],
+                          targets, t_acts, w), frames
+
+
+_PROBLEM_KINDS = {
+    "image": _image_loss,
+    "nested_first_frame": _nested_first_frame_loss,
+}
 
 
 def _make_opt(icfg: InvertConfig) -> optax.GradientTransformation:
@@ -144,11 +169,20 @@ def _make_opt(icfg: InvertConfig) -> optax.GradientTransformation:
     return optax.adam(sched, b1=0.5, b2=0.999, eps=1e-8)
 
 
-@functools.partial(jax.jit, static_argnames=("loss_fn", "opt", "n_steps"))
-def _run_chunk(z, opt_state, loss_fn, opt, n_steps):
+@functools.partial(jax.jit,
+                   static_argnames=("kind", "statics", "icfg", "n_steps"))
+def _run_chunk(z, opt_state, dynamic, kind, statics, icfg, n_steps):
+    """n_steps of Adam-on-z as one scan. All jit keys are hashable VALUES
+    (problem kind + frozen configs), so repeated invert() calls with the
+    same shapes reuse one compilation — critical for the per-frame warm-start
+    loops (invert_video_iterative, z_finder)."""
+    loss_fn = _PROBLEM_KINDS[kind]
+    opt = _make_opt(icfg)
+
     def body(carry, _):
         z, opt_state = carry
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(z)
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            z, dynamic, *statics)
         updates, opt_state = opt.update(grads, opt_state, z)
         z = optax.apply_updates(z, updates)
         return (z, opt_state), loss
@@ -197,7 +231,8 @@ def invert(problem: InversionProblem, icfg: InvertConfig,
             _, imgs = problem.loss_fn(z)
             frames.append(np.asarray(jax.device_get(imgs)))
         z, opt_state, chunk_losses = _run_chunk(
-            z, opt_state, problem.loss_fn, opt, n)
+            z, opt_state, problem.dynamic, problem.kind, problem.statics,
+            icfg, n)
         losses.append(np.asarray(jax.device_get(chunk_losses)))
         step += n
     if step in capture or capture:

@@ -56,7 +56,6 @@ def extract_z_trajectories(params, state, cfg: DCGANConfig,
         if not batch:
             return
         clips = [c for _, c in batch]
-        t = clips[0].shape[0]
         real = len(clips)
         while len(clips) < batch_size:        # pad partial batch (:105-109)
             clips.append(clips[-1])
@@ -83,6 +82,10 @@ def extract_z_trajectories(params, state, cfg: DCGANConfig,
         if clip is None:
             print(f"skipping undecodable/short clip {path}")
             continue
+        if pending and clip.shape != pending[0][1].shape:
+            print(f"skipping {path}: shape {clip.shape} != batch shape "
+                  f"{pending[0][1].shape}")
+            continue
         pending.append((path, clip))
         processed += 1
         if len(pending) == batch_size:
@@ -99,5 +102,7 @@ def _write_comparison(params, state, cfg, traj: np.ndarray,
 
     recon = np.asarray(dcgan.sample(params, state, traj, cfg))
     side = np.concatenate([clip, recon], axis=2)  # target | reconstruction
-    u8 = np.clip(np.round((side + 1) * 127.5), 0, 255).astype(np.uint8)
+    from gifgan_tpu.ops.image import denorm_u8
+
+    u8 = denorm_u8(side)
     encode_mp4(out_path, u8)

@@ -95,25 +95,28 @@ def lstm_step(params, carry, x: Array) -> Tuple[Tuple[Array, Array], Array]:
 
 def init_generator(key, cfg: RecurrentImageConfig) -> Dict:
     chans = _layer_channels(cfg)
-    keys = jax.random.split(key, 12 + cfg.num_lstm_layers)
+    # key layout: enc 0-3, lstm 4..3+L, out_fc 4+L, dec 5+L..8+L — disjoint
+    # for any num_lstm_layers
+    L = cfg.num_lstm_layers
+    keys = jax.random.split(key, 9 + L)
     params: Dict = {}
     if not cfg.share_disc_conv:
         for i in range(4):
             params[f"enc{i}"] = {
                 "w": nn.normal_init(keys[i], (5, 5, chans[i], chans[i + 1]))}
     fc = fc_size(cfg)
-    for layer in range(cfg.num_lstm_layers):
+    for layer in range(L):
         in_dim = fc if layer == 0 else cfg.lstm_units
         params[f"lstm{layer}"] = lstm_init(keys[4 + layer], in_dim,
                                            cfg.lstm_units)
     params["out_fc"] = {
-        "w": nn.normal_init(keys[8], (cfg.lstm_units, fc)),
+        "w": nn.normal_init(keys[4 + L], (cfg.lstm_units, fc)),
         "b": jnp.zeros((1, fc), jnp.float32),
     }
     for i in range(4):
         # deconv filter TF layout [h, w, out, in], top-down: 512->256->128->64->3
         params[f"dec{i}"] = {
-            "w": nn.normal_init(keys[9 + i] if i < 3 else keys[11],
+            "w": nn.normal_init(keys[5 + L + i],
                                 (5, 5, chans[3 - i], chans[4 - i]))}
     return params
 

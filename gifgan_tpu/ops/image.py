@@ -53,3 +53,12 @@ def to_uint8(x: Array) -> Array:
     """[0,1] float -> uint8 with round-half-away (matches np.around usage in
     z_model_lib.py:304)."""
     return jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.uint8)
+
+
+def denorm_u8(x) -> "np.ndarray":
+    """[-1, 1] float -> uint8, numpy (the inverse_transform + to_uint8 combo
+    for host-side writers). One definition for every encoder call site."""
+    import numpy as np
+
+    x = np.asarray(x)
+    return np.clip(np.round((x + 1.0) * 127.5), 0, 255).astype(np.uint8)

@@ -76,7 +76,9 @@ class ExplorerCore:
     def _write_img(self, im: np.ndarray) -> str:
         import imageio.v2 as imageio
 
-        u8 = np.clip(np.round((im + 1.0) * 127.5), 0, 255).astype(np.uint8)
+        from gifgan_tpu.ops.image import denorm_u8
+
+        u8 = denorm_u8(im)
         name = f"img_{self._counter}.png"
         self._counter += 1
         imageio.imwrite(os.path.join(self.media_dir, name), u8)
@@ -238,7 +240,9 @@ class ExplorerCore:
         from gifgan_tpu.data.video import encode_mp4
 
         imgs = self.run_inference(self.video_zs)
-        u8 = np.clip(np.round((imgs + 1.0) * 127.5), 0, 255).astype(np.uint8)
+        from gifgan_tpu.ops.image import denorm_u8
+
+        u8 = denorm_u8(imgs)
         if self.image_scale != 1:
             u8 = np.repeat(np.repeat(u8, self.image_scale, axis=1),
                            self.image_scale, axis=2)

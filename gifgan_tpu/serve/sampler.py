@@ -18,6 +18,8 @@ from typing import Callable, Optional
 
 import numpy as np
 
+from gifgan_tpu.ops.image import denorm_u8
+
 
 def gif_wall(sample_fn: Callable[[np.ndarray], np.ndarray],
              z_dim: int, out_dir: str, batch_size: int = 64,
@@ -33,17 +35,17 @@ def gif_wall(sample_fn: Callable[[np.ndarray], np.ndarray],
     rng = np.random.default_rng(seed)
     n = start_index
     batch = 0
-    while continuous or (num_batches is not None and batch < num_batches):
+    while continuous or batch < (num_batches or 0):
         z = rng.uniform(-1, 1, (batch_size, z_dim)).astype(np.float32)
         videos = np.asarray(sample_fn(z))
-        u8 = np.clip(np.round((videos + 1.0) * 127.5), 0, 255).astype(np.uint8)
+        u8 = denorm_u8(videos)
         for vid in u8:
             write_gif(os.path.join(out_dir, f"{n}.gif"), vid, fps=fps,
                       atomic=True)
             n += 1
         batch += 1
-        if continuous and num_batches is not None and batch >= num_batches:
-            break
+        # continuous=True ignores num_batches entirely (the reference's
+        # endless GIF wall, model_sampler.py:63-84); stop only via signal.
     return n - start_index
 
 
@@ -56,7 +58,7 @@ def render_z_trajectory(sample_fn: Callable[[np.ndarray], np.ndarray],
 
     zs = np.load(z_path).astype(np.float32)
     imgs = np.asarray(sample_fn(zs))
-    u8 = np.clip(np.round((imgs + 1.0) * 127.5), 0, 255).astype(np.uint8)
+    u8 = denorm_u8(imgs)
     if scale != 1:
         u8 = np.repeat(np.repeat(u8, scale, axis=1), scale, axis=2)
     encode_mp4(out_path, u8, fps=fps)

@@ -83,7 +83,9 @@ class WebcamBackend:
 
         recon = np.asarray(frames[-1][0]) if frames else np.asarray(
             dcgan.sample(self.params, self.state, z, self.cfg)[0])
-        recon_u8 = np.clip(np.round((recon + 1) * 127.5), 0, 255).astype(np.uint8)
+        from gifgan_tpu.ops.image import denorm_u8
+
+        recon_u8 = denorm_u8(recon)
         recon_path = os.path.join(req_dir, "reconstruction.png")
         imageio.imwrite(recon_path, recon_u8)
 
@@ -101,7 +103,7 @@ class WebcamBackend:
         for name, path_zs in self.paths.items():
             vid = np.asarray(apply_latent_path(
                 self.params, self.state, z[:1], path_zs, self.cfg))[:, 0]
-            u8 = np.clip(np.round((vid + 1) * 127.5), 0, 255).astype(np.uint8)
+            u8 = denorm_u8(vid)
             out = os.path.join(req_dir, f"path_{name}.mp4")
             encode_mp4(out, u8, fps=self.fps)
             path_files[name] = out

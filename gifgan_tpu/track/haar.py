@@ -271,12 +271,17 @@ class HaarDetector:
             if ww > min(w, max_len) or wh > min(h, max_len):
                 break
             stride = max(2, int(round(scale)))
-            xs0 = np.arange(0, w - ww, stride)
-            ys0 = np.arange(0, h - wh, stride)
+            rs = _scaled_rects(cas, scale)
+            # rounding can push a scaled rect a pixel past the nominal
+            # window; bound origins by the true max extent so integral
+            # lookups stay in range while still scanning the last window
+            ext_x = int(max(ww, (rs[:, :, 0] + rs[:, :, 2]).max()))
+            ext_y = int(max(wh, (rs[:, :, 1] + rs[:, :, 3]).max()))
+            xs0 = np.arange(0, w - ext_x + 1, stride)
+            ys0 = np.arange(0, h - ext_y + 1, stride)
             gx, gy = np.meshgrid(xs0, ys0)
             xs, ys = gx.ravel(), gy.ravel()
             if len(xs):
-                rs = _scaled_rects(cas, scale)
                 alive = _eval_stages(cas, ii, ii2, xs, ys, scale, 0,
                                      self.early_stages, rs)
                 if alive.any():
@@ -426,6 +431,10 @@ class JaxHaarDetector(HaarDetector):
     def detect_rects(self, gray: np.ndarray) -> np.ndarray:
         cas = self.cas
         h, w = gray.shape[:2]
+        # float32 integral images lose rect-sum precision once values pass
+        # 2^24 (~360x360 of 255s): fall back to the float64 numpy path.
+        if h * w * 255.0 > 2 ** 24:
+            return super().detect_rects(gray)
         side = math.sqrt(h * w)
         max_len = side * self.max_size_factor
         ii, ii2 = integral_images(gray)
@@ -438,8 +447,11 @@ class JaxHaarDetector(HaarDetector):
             if ww > min(w, max_len) or wh > min(h, max_len):
                 break
             stride = max(2, int(round(scale)))
-            xs0 = np.arange(0, w - ww, stride)
-            ys0 = np.arange(0, h - wh, stride)
+            rs_b = _scaled_rects(cas, scale)
+            ext_x = int(max(ww, (rs_b[:, :, 0] + rs_b[:, :, 2]).max()))
+            ext_y = int(max(wh, (rs_b[:, :, 1] + rs_b[:, :, 3]).max()))
+            xs0 = np.arange(0, w - ext_x + 1, stride)
+            ys0 = np.arange(0, h - ext_y + 1, stride)
             gx, gy = np.meshgrid(xs0, ys0)
             xs, ys = gx.ravel().astype(np.int32), gy.ravel().astype(np.int32)
             if len(xs):

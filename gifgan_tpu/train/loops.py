@@ -24,7 +24,8 @@ from gifgan_tpu.core.config import (DCGANConfig, TrainConfig, VidGANConfig,
 from gifgan_tpu.core.metrics import MetricsLogger
 from gifgan_tpu.core.rng import PRNGSequence, uniform_z
 from gifgan_tpu.data.loader import PrefetchLoader
-from gifgan_tpu.ops.image import inverse_transform, merge_grid, to_uint8
+from gifgan_tpu.ops.image import (denorm_u8, inverse_transform,
+                                  merge_grid, to_uint8)
 
 
 def _save_grid(samples: np.ndarray, rows: int, cols: int, path: str,
@@ -189,8 +190,9 @@ def _write_video_grid(videos: np.ndarray, cols: int, path: str,
     from gifgan_tpu.data.video import encode_mp4
 
     b, t, s, _, c = videos.shape
-    rows = b // cols
-    u8 = np.clip(np.round((videos + 1) * 127.5), 0, 255).astype(np.uint8)
+    cols = max(1, min(cols, b))
+    rows = max(1, b // cols)
+    u8 = denorm_u8(videos)
     grid = u8[:rows * cols].reshape(rows, cols, t, s, s, c)
     grid = grid.transpose(2, 0, 3, 1, 4, 5).reshape(t, rows * s, cols * s, c)
     if c == 1:
