@@ -536,6 +536,17 @@ def cmd_face_detect(args):
     print(json.dumps(out))
 
 
+
+
+def cmd_survey_serve(args):
+    from gifgan_tpu.serve.survey import SurveyServer, serve
+
+    survey = SurveyServer(args.sample_dir)
+    print(f"survey on {args.host}:{args.port} "
+          f"(responses -> {survey.responses_path})")
+    serve(survey, host=args.host, port=args.port)
+
+
 def cmd_bench(args):
     import subprocess
 
@@ -716,6 +727,13 @@ def main(argv=None):
     p.add_argument("--query", default=None,
                    help="face image to search for (MSSIM)")
     p.set_defaults(fn=cmd_face_detect)
+
+    p = sub.add_parser("survey-serve",
+                       help="host exported survey samples + collect ratings")
+    p.add_argument("--sample-dir", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8082)
+    p.set_defaults(fn=cmd_survey_serve)
 
     p = sub.add_parser("bench")
     p.set_defaults(fn=cmd_bench)

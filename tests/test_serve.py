@@ -219,3 +219,54 @@ def test_process_shard():
 
     with _pytest.raises(ValueError):
         global_batch_to_local(10, 3)
+
+
+def test_survey_server_end_to_end(tmp_path):
+    pytest.importorskip("imageio")
+    from gifgan_tpu.data.synthetic import synthetic_clips
+    from gifgan_tpu.eval import export_survey_samples
+    from gifgan_tpu.serve.survey import SurveyServer, serve as serve_survey
+
+    export_survey_samples(
+        {"nested": lambda n: synthetic_clips(n, 3, 16, seed=1)},
+        str(tmp_path), samples_per_variant=2)
+    survey = SurveyServer(str(tmp_path))
+    server = serve_survey(survey, port=0, background=True)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(base + "/", timeout=10) as r:
+            assert b"How realistic" in r.read()
+        with urllib.request.urlopen(base + "/manifest.json", timeout=10) as r:
+            manifest = json.loads(r.read())
+        gif_path = manifest["variants"]["nested"][0]
+        with urllib.request.urlopen(f"{base}/{gif_path}", timeout=10) as r:
+            assert r.read()[:4] == b"GIF8"
+        # record two ratings, read aggregated results
+        for rating in (4, 2):
+            req = urllib.request.Request(
+                base + "/response",
+                data=json.dumps({"gif": gif_path, "variant": "nested",
+                                 "rating": rating, "worker": "w1"}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=10) as r:
+                assert json.loads(r.read())["response"] == "success"
+        with urllib.request.urlopen(base + "/results", timeout=10) as r:
+            res = json.loads(r.read())
+        assert res["variants"]["nested"] == {"n": 2, "mean_rating": 3.0}
+        # probes: bad rating -> 400; path traversal -> 403/404
+        req = urllib.request.Request(
+            base + "/response",
+            data=json.dumps({"gif": "x", "variant": "v",
+                             "rating": 9}).encode())
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        try:
+            urllib.request.urlopen(base + "/../../etc/passwd.gif", timeout=10)
+        except urllib.error.HTTPError as e:
+            assert e.code in (403, 404)
+    finally:
+        server.shutdown()
