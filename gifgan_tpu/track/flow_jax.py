@@ -199,7 +199,7 @@ def jax_flow_backend(prev_crop: np.ndarray, crop: np.ndarray,
     successfully tracked corner points."""
     if min(prev_crop.shape[:2]) <= block_size + 2 or \
             min(crop.shape[:2]) <= block_size + 2:
-        return np.zeros((0, 2)), np.zeros((0, 2))
+        return np.zeros((0, 2)), np.zeros((0, 2)), 0
     # shape buckets: crops vary per frame — pad to multiples of 16 so jit
     # compiles once per bucket
     def pad16(img):
@@ -224,4 +224,5 @@ def jax_flow_backend(prev_crop: np.ndarray, crop: np.ndarray,
     pts_np, new_np = np.asarray(pts), np.asarray(new_pts)
     ok = (np.asarray(status) & (pts_np[:, 0] < w - 1)
           & (pts_np[:, 1] < h - 1))
-    return pts_np[ok], new_np[ok]
+    n_corners = int(np.asarray(valid).sum())
+    return pts_np[ok], new_np[ok], n_corners

@@ -63,8 +63,11 @@ def cv2_flow_backend(prev_crop: np.ndarray, crop: np.ndarray,
                      min_distance: float = 8.0, block_size: int = 7,
                      win_size: int = 15, max_level: int = 3,
                      ) -> Tuple[np.ndarray, np.ndarray]:
-    """Shi-Tomasi corners + pyramidal LK; returns (pts_prev, pts_next) for
-    successfully tracked points (possibly empty)."""
+    """Shi-Tomasi corners + pyramidal LK; returns (pts_prev, pts_next,
+    n_corners_found) — the tracked point pairs plus how many corners were
+    detected before flow, so callers can distinguish the no-corners and
+    all-flow-failed cases (the reference's separate counters,
+    track_faces.py:498-523)."""
     if not _HAVE_CV2:
         raise RuntimeError("cv2 unavailable")
     pnts = cv2.goodFeaturesToTrack(prev_crop, maxCorners=max_corners,
@@ -72,13 +75,13 @@ def cv2_flow_backend(prev_crop: np.ndarray, crop: np.ndarray,
                                    minDistance=min_distance,
                                    blockSize=block_size)
     if pnts is None or len(pnts) == 0:
-        return np.zeros((0, 2)), np.zeros((0, 2))
+        return np.zeros((0, 2)), np.zeros((0, 2)), 0
     pnts2, status, _ = cv2.calcOpticalFlowPyrLK(
         prev_crop, crop, pnts, None, winSize=(win_size, win_size),
         maxLevel=max_level,
         criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 10, 0.03))
     ok = status.ravel().astype(bool)
-    return pnts.reshape(-1, 2)[ok], pnts2.reshape(-1, 2)[ok]
+    return pnts.reshape(-1, 2)[ok], pnts2.reshape(-1, 2)[ok], len(pnts)
 
 
 def stabilized_box_update(d: Detection, next_d: Detection,
@@ -141,12 +144,24 @@ def stabilize_tracks(frames: Sequence[np.ndarray], tracks: List[Track],
                 continue
             prev_crop = prev_frame[d.y1:d.y2 + 1, d.x1:d.x2 + 1]
             crop = im[next_d.y1:next_d.y2 + 1, next_d.x1:next_d.x2 + 1]
-            pts, pts2 = flow_backend(prev_crop, crop)
+            result = flow_backend(prev_crop, crop)
+            if len(result) == 3:          # (pts, pts2, n_corners_found)
+                pts, pts2, n_corners = result
+            else:
+                pts, pts2 = result
+                n_corners = len(pts)
             if stats is not None:
                 stats.observe_feature_points(len(pts))
             if len(pts) == 0:
-                fail(track_id, "cnt_truncate_because_no_feature_points",
-                     "cnt_drop_because_no_feature_points")
+                # distinguish the reference's two failure counters
+                # (track_faces.py:498-523): no corners found vs corners
+                # found but optical flow failed on all of them
+                if n_corners == 0:
+                    fail(track_id, "cnt_truncate_because_no_feature_points",
+                         "cnt_drop_because_no_feature_points")
+                else:
+                    fail(track_id, "cnt_truncate_because_failed_optical_flow",
+                         "cnt_drop_because_failed_optical_flow")
                 continue
             # move points into frame coordinates
             pts = pts + np.array([d.x1, d.y1], float)
