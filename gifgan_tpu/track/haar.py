@@ -467,3 +467,96 @@ class JaxHaarDetector(HaarDetector):
             scale *= self.scale_factor
         return group_rectangles(np.asarray(candidates, np.int64)
                                 .reshape(-1, 4), self.min_neighbors)
+
+
+class BatchedJaxHaarDetector(JaxHaarDetector):
+    """Video-rate detection: evaluates the early stages for ALL FRAMES of a
+    clip in one device program per scale (frames share the window grid, the
+    integral images batch, and the weight tensors are reused), then finishes
+    survivors per frame on host. Exposes `detect_batch`; single-frame calls
+    fall back to the parent."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._batch_cache = {}
+
+    def _batched_eval(self, scale: float, n_windows_bucket: int):
+        import jax
+
+        key = (scale, n_windows_bucket)
+        if key not in self._batch_cache:
+            single = self._jax_eval._build(scale)
+            self._batch_cache[key] = jax.jit(jax.vmap(
+                single, in_axes=(0, 0, None, None, None)))
+        return self._batch_cache[key]
+
+    def detect_batch(self, grays: np.ndarray):
+        """grays: (T, H, W) float. Returns a list of T (M_t, 4) rect arrays."""
+        import jax.numpy as jnp
+
+        cas = self.cas
+        t, h, w = grays.shape
+        if h * w * 255.0 > 2 ** 24:   # f32 precision limit: per-frame f64 path
+            return [super(JaxHaarDetector, self).detect_rects(g)
+                    for g in grays]
+        side = math.sqrt(h * w)
+        max_len = side * self.max_size_factor
+
+        iis = np.zeros((t, h + 1, w + 1), np.float32)
+        ii2s = np.zeros((t, h + 1, w + 1), np.float32)
+        for i, g in enumerate(grays):
+            a, b = integral_images(g)
+            iis[i], ii2s[i] = a, b
+        iis_j = jnp.asarray(iis)
+        ii2s_j = jnp.asarray(ii2s)
+
+        candidates = [[] for _ in range(t)]
+        scale = max(self.min_size / cas.window_w, 1.0)
+        while True:
+            ww = int(round(cas.window_w * scale))
+            wh = int(round(cas.window_h * scale))
+            if ww > min(w, max_len) or wh > min(h, max_len):
+                break
+            stride = max(2, int(round(scale)))
+            rs = _scaled_rects(cas, scale)
+            ext_x = int(max(ww, (rs[:, :, 0] + rs[:, :, 2]).max()))
+            ext_y = int(max(wh, (rs[:, :, 1] + rs[:, :, 3]).max()))
+            xs0 = np.arange(0, w - ext_x + 1, stride)
+            ys0 = np.arange(0, h - ext_y + 1, stride)
+            gx, gy = np.meshgrid(xs0, ys0)
+            xs = gx.ravel().astype(np.int32)
+            ys = gy.ravel().astype(np.int32)
+            if len(xs):
+                n = len(xs)
+                bucket = 1 << max(6, (n - 1).bit_length())
+                xs_p = np.zeros(bucket, np.int32)
+                ys_p = np.zeros(bucket, np.int32)
+                xs_p[:n], ys_p[:n] = xs, ys
+                valid = np.zeros(bucket, bool)
+                valid[:n] = True
+                fn = self._batched_eval(scale, bucket)
+                alive = np.asarray(fn(iis_j, ii2s_j, jnp.asarray(xs_p),
+                                      jnp.asarray(ys_p),
+                                      jnp.asarray(valid)))[:, :n]
+                for fi in np.nonzero(alive.any(axis=1))[0]:
+                    row = alive[fi]
+                    xs2, ys2 = xs[row], ys[row]
+                    ii, ii2 = integral_images(grays[fi])
+                    deep = _eval_stages(cas, ii, ii2, xs2, ys2, scale,
+                                        self.early_stages,
+                                        len(cas.stage_thr), rs)
+                    for x, y in zip(xs2[deep], ys2[deep]):
+                        candidates[fi].append((x, y, ww, wh))
+            scale *= self.scale_factor
+        return [group_rectangles(np.asarray(c, np.int64).reshape(-1, 4),
+                                 self.min_neighbors) for c in candidates]
+
+    def detect_video(self, frames_rgb: np.ndarray):
+        """frames (T, H, W, C) uint8 -> list of per-frame Detection lists."""
+        from gifgan_tpu.track.boxes import Detection
+
+        grays = np.dot(frames_rgb[..., :3].astype(np.float64),
+                       [0.299, 0.587, 0.114])
+        rect_lists = self.detect_batch(grays)
+        return [[Detection.from_rect(r, i) for r in rects]
+                for i, rects in enumerate(rect_lists)]

@@ -75,12 +75,14 @@ def process_video(frames: np.ndarray, detector: Callable,
     t, height, width = frames.shape[:3]
     frame_size = (width, height)
 
-    # 1. detection per frame
-    per_frame = []
-    for i in range(t):
-        dets = detector(frames[i], i)
+    # 1. detection — whole-clip batched when the detector supports it
+    # (BatchedJaxHaarDetector.detect_video), else per frame
+    if hasattr(detector, "detect_video"):
+        per_frame = detector.detect_video(frames)
+    else:
+        per_frame = [detector(frames[i], i) for i in range(t)]
+    for dets in per_frame:
         stats.cnt_total_detections += len(dets)
-        per_frame.append(dets)
 
     # 2-3. association + validity filtering
     tracks = B.associate_detections(per_frame, cfg.min_jaccard, cfg.max_skip,

@@ -88,3 +88,28 @@ def test_detects_faces_not_noise():
         int(len(det(rng.integers(0, 255, (128, 128, 3), np.uint8), 0)) > 0)
         for _ in range(3))
     assert noise_hits == 0
+
+
+@pytest.mark.skipif(_cascade_path() is None, reason="no cascade XML on host")
+def test_batched_detector_matches_single():
+    import imageio.v2 as imageio
+
+    from gifgan_tpu.track.haar import BatchedJaxHaarDetector
+
+    face_dir = "/root/reference/firebase/public/mturk/nested_dcgan_samples"
+    if not os.path.isdir(face_dir):
+        pytest.skip("no face samples")
+    f = sorted(os.listdir(face_dir))[0]
+    frames = np.stack([np.asarray(x)[..., :3] for x in
+                       imageio.mimread(os.path.join(face_dir, f))])[:4]
+    big = np.repeat(np.repeat(frames, 2, 1), 2, 2)
+
+    det_b = BatchedJaxHaarDetector(_cascade_path(), min_neighbors=2,
+                                   min_size=20)
+    det_s = HaarDetector(_cascade_path(), min_neighbors=2, min_size=20)
+    batched = det_b.detect_video(big)
+    for i in range(4):
+        single = det_s(big[i], i)
+        assert len(batched[i]) == len(single)
+        for db, ds in zip(batched[i], single):
+            assert abs(db.x1 - ds.x1) <= 1 and abs(db.y1 - ds.y1) <= 1
