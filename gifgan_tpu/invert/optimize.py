@@ -129,28 +129,37 @@ def nested_first_frame_problem(params: vid_dcgan.VidGANParams,
     (…_optimizer_nested.py:148-208)."""
     w = normalized_weights(icfg)
     icf = cfg.image_gan
+    train_mode = icfg.use_train_mode_activations
     t_acts = target_activations(
         dcgan.DCGANParams(params.img_generator, params.img_discriminator),
         dcgan.DCGANState(state.img_generator, state.img_discriminator),
-        targets, icf, train_mode=False)
+        targets, icf, train_mode=train_mode)
     return InversionProblem(
-        "nested_first_frame", (cfg, tuple(sorted(w.items()))),
+        "nested_first_frame", (cfg, tuple(sorted(w.items())), train_mode),
         (params, state, targets, t_acts),
         (targets.shape[0], cfg.z_input_size))
 
 
-def _nested_first_frame_loss(z, dynamic, cfg, w_items):
+def _nested_first_frame_loss(z, dynamic, cfg, w_items, train_mode):
     params, state, targets, t_acts = dynamic
     w = dict(w_items)
     icf = cfg.image_gan
     frames, _, _, _ = vid_dcgan.generate_videos(params, state, z, cfg,
-                                                train=False)
+                                                train=train_mode)
     logits, acts, _ = dcgan.discriminator(
         params.img_discriminator, state.img_discriminator, frames, icf,
-        train=False)
+        train=train_mode)
     t = cfg.vid_length
-    return _weighted_loss(frames[::t], acts[::t], logits[::t],
-                          targets, t_acts, w), frames
+    # pixel/activation losses on frame 0 only ([::T] slices) but the
+    # generator-loss regularizer over ALL frames — the reference uses the
+    # whole-video g_loss unsliced (…_optimizer_nested.py:192)
+    loss = _weighted_loss(frames[::t], acts[::t], logits[::t],
+                          targets, t_acts,
+                          {**w, "generator_loss": 0.0})
+    if w["generator_loss"]:
+        loss += w["generator_loss"] * nn.sigmoid_ce(
+            logits, jnp.ones_like(logits))
+    return loss, frames
 
 
 _PROBLEM_KINDS = {
@@ -279,36 +288,37 @@ def invert_video_joint(params, state, video_frames, cfg: DCGANConfig,
 def invert_video_iterative(params, state, video_frames, cfg: DCGANConfig,
                            icfg: InvertConfig, num_initial_steps: int = 500,
                            num_steps_per_frame: int = 100, key=None,
-                           lr_decay_per_frame: float = 1.0):
-    """One z per VIDEO, optimized frame-by-frame with warm starts
-    (…_optimizer_video_iterative.py:184-223): `num_initial_steps` on frame 0,
-    then `num_steps_per_frame` per subsequent frame starting from the
-    previous frame's solution. Returns the z trajectory (T, V, z_dim)."""
+                           post_initial_lr_decay: float = 0.9):
+    """One z per VIDEO, optimized frame-by-frame with warm starts — the
+    reference schedule (…_optimizer_video_iterative.py:184-223,
+    z_space_finder.py:136-158): `num_initial_steps` on frame 0 at full LR,
+    ONE LR decay, then `num_steps_per_frame` refinement on EVERY frame
+    (including frame 0) warm-started from the previous frame's solution.
+    Returns the z trajectory (T, V, z_dim)."""
+    import dataclasses
+
     assert video_frames.ndim == 5, "pass (V, T, s, s, c)"
     v, t = video_frames.shape[:2]
     if key is None:
         key = jax.random.PRNGKey(0)
 
+    # initial phase: frame 0, full LR
+    init_cfg = dataclasses.replace(icfg, steps=num_initial_steps,
+                                   batch_size=v)
+    z, _, _ = invert(image_problem(params, state, video_frames[:, 0], cfg,
+                                   init_cfg), init_cfg, key=key)
+
+    # refinement: every frame at the decayed LR
+    frame_cfg = dataclasses.replace(
+        icfg, steps=num_steps_per_frame,
+        learning_rate=icfg.learning_rate * post_initial_lr_decay,
+        batch_size=v)
     zs = []
-    z = None
-    lr = icfg.learning_rate
     for frame in range(t):
-        targets = video_frames[:, frame]
-        steps = num_initial_steps if frame == 0 else num_steps_per_frame
-        fcfg = InvertConfig(
-            steps=steps, learning_rate=lr,
-            lr_decay_every=icfg.lr_decay_every,
-            lr_decay_factor=icfg.lr_decay_factor,
-            pixel_l1=icfg.pixel_l1, pixel_l2=icfg.pixel_l2,
-            activation_l1=icfg.activation_l1,
-            activation_l2=icfg.activation_l2,
-            generator_loss=icfg.generator_loss,
-            use_train_mode_activations=icfg.use_train_mode_activations,
-            batch_size=v)
-        problem = image_problem(params, state, targets, cfg, fcfg)
-        z, _, _ = invert(problem, fcfg, key=key, z0=z)
+        problem = image_problem(params, state, video_frames[:, frame], cfg,
+                                frame_cfg)
+        z, _, _ = invert(problem, frame_cfg, key=key, z0=z)
         zs.append(np.asarray(jax.device_get(z)))
-        lr *= lr_decay_per_frame
     return np.stack(zs)  # (T, V, z_dim)
 
 
@@ -351,6 +361,6 @@ def broadcast_z_forward(zs: Array, from_frame: int, vid_length: int) -> Array:
 
 def tween_z(z_a: Array, z_b: Array, steps: int) -> Array:
     """Linear z interpolation (the inverters' tween outputs,
-    …_optimizer_video.py:250-287): (steps, *z.shape)."""
-    w = jnp.linspace(0.0, 1.0, steps)[:, None]
+    …_optimizer_video.py:250-287): (steps, *z.shape) for z of any rank."""
+    w = jnp.linspace(0.0, 1.0, steps).reshape((steps,) + (1,) * z_a.ndim)
     return z_a[None] * (1 - w) + z_b[None] * w

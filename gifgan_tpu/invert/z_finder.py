@@ -36,6 +36,7 @@ def extract_z_trajectories(params, state, cfg: DCGANConfig,
                            batch_size: int = 8,
                            num_initial_steps: int = 500,
                            num_steps_per_frame: int = 100,
+                           post_initial_lr_decay: float = 0.9,
                            stop_after: Optional[int] = None,
                            write_comparisons: bool = False,
                            seed: int = 0) -> List[str]:
@@ -64,6 +65,7 @@ def extract_z_trajectories(params, state, cfg: DCGANConfig,
             params, state, videos, cfg, icfg,
             num_initial_steps=num_initial_steps,
             num_steps_per_frame=num_steps_per_frame,
+            post_initial_lr_decay=post_initial_lr_decay,
             key=__import__("jax").random.PRNGKey(seed))   # (T, V, z_dim)
         for i, (path, clip) in enumerate(batch[:real]):
             traj = zs[:, i, :]

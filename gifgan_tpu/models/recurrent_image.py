@@ -45,15 +45,17 @@ def moments_norm(x: Array, t: int = 1, eps: float = 1e-5) -> Array:
     frame-by-frame); when x is a folded (B*T, h, w, c) batch, pass t so the
     moments are computed per (t, channel) — the convs stay folded for the
     MXU, only the cheap normalization unfolds."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)   # moments in f32 even for bf16 activations
     if t == 1:
-        mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
-        var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + eps)
+        mean = jnp.mean(xf, axis=(0, 1, 2), keepdims=True)
+        var = jnp.var(xf, axis=(0, 1, 2), keepdims=True)
+        return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(dtype)
     bt = x.shape[0]
-    x5 = x.reshape(bt // t, t, *x.shape[1:])
+    x5 = xf.reshape(bt // t, t, *x.shape[1:])
     mean = jnp.mean(x5, axis=(0, 2, 3), keepdims=True)
     var = jnp.var(x5, axis=(0, 2, 3), keepdims=True)
-    return ((x5 - mean) * jax.lax.rsqrt(var + eps)).reshape(x.shape)
+    return ((x5 - mean) * jax.lax.rsqrt(var + eps)).reshape(x.shape).astype(dtype)
 
 
 def _layer_channels(cfg: RecurrentImageConfig):
@@ -106,7 +108,10 @@ def init_generator(key, cfg: RecurrentImageConfig) -> Dict:
                 "w": nn.normal_init(keys[i], (5, 5, chans[i], chans[i + 1]))}
     fc = fc_size(cfg)
     for layer in range(L):
-        in_dim = fc if layer == 0 else cfg.lstm_units
+        # shared-conv variant feeds the LSTM D's 100-d fc embedding
+        # (reference …shared_conv…:214), not the raw conv features
+        in0 = cfg.lstm_units if cfg.share_disc_conv else fc
+        in_dim = in0 if layer == 0 else cfg.lstm_units
         params[f"lstm{layer}"] = lstm_init(keys[4 + layer], in_dim,
                                            cfg.lstm_units)
     params["out_fc"] = {
@@ -160,9 +165,14 @@ def _encode(params, d_params, frames_bt: Array, cfg, dtype,
     """(B*T, s, s, c) -> (B*T, fc). Uses D's conv filters when
     share_disc_conv (reference shared-conv variant :170-207)."""
     if cfg.share_disc_conv:
+        # reference shared-conv variant: D's convs AND D's fc embedding
+        # (…shared_conv…:170-214) — the LSTM sees the 100-d embedding
         filters = [d_params[f"conv{i}"]["w"] for i in range(4)]
-    else:
-        filters = [params[f"enc{i}"]["w"] for i in range(4)]
+        h = _conv_stack(filters, frames_bt, jax.nn.relu, dtype, t)
+        h = h.reshape(h.shape[0], -1)
+        emb = jnp.dot(h.astype(dtype), d_params["fc"]["w"].astype(dtype))
+        return emb + d_params["fc"]["b"]
+    filters = [params[f"enc{i}"]["w"] for i in range(4)]
     h = _conv_stack(filters, frames_bt, jax.nn.relu, dtype, t)
     return h.reshape(h.shape[0], -1)
 

@@ -166,16 +166,20 @@ def init_cond_train_state(key, cfg: DCGANConfig, y_dim: int,
 def cond_train_step(ts: CondTrainState, images: Array, y: Array, z: Array,
                     rng, cfg: DCGANConfig, tcfg: TrainConfig,
                     ) -> Tuple[CondTrainState, Dict]:
-    """Label-conditioned D+G updates (images in [0, 1], one-hot y)."""
+    """Label-conditioned D+G updates (images in [0, 1], one-hot y).
+    Instance noise (cfg.noise_std) applies to the real path like the
+    reference's noisy_images (model.py:82,100)."""
     opt = make_optimizer(tcfg)
     metrics = {}
-    for _ in range(tcfg.disc_updates):
+    keys = jax.random.split(rng, tcfg.disc_updates + 1)
+    for u in range(tcfg.disc_updates):
+        noisy_images = nn.add_noise(keys[u], images, cfg.noise_std)
         fake, gen_bn = dcgan.generator_cond(
             ts.params.generator, ts.state.generator, z, y, cfg, train=True)
 
         def d_loss_fn(dp):
             lr_, ds1 = dcgan.discriminator_cond(
-                dp, ts.state.discriminator, images, y, cfg, train=True)
+                dp, ts.state.discriminator, noisy_images, y, cfg, train=True)
             lf_, ds2 = dcgan.discriminator_cond(dp, ds1, fake, y, cfg,
                                                 train=True)
             loss_r = nn.sigmoid_ce(lr_, jnp.ones_like(lr_))

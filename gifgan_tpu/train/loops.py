@@ -94,7 +94,7 @@ def train_dcgan(images_iter: Callable[[], Iterator[np.ndarray]],
             step += 1
             log.log(step, metrics)
             if tcfg.sample_every and step % tcfg.sample_every == 0:
-                samples = gan.sample_step(jax.device_get(ts), sample_z, cfg)
+                samples = gan.sample_step(ts, sample_z, cfg)
                 _save_grid(np.asarray(samples), 8, 8,
                            os.path.join(run_dir,
                                         f"train_{epoch:02d}_{step:06d}.png"))
@@ -117,7 +117,6 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
                     mesh=None, resume: bool = True,
                     steps_limit: Optional[int] = None):
     """clips_iter yields time-folded (B*T, s, s, c) float [-1,1] batches."""
-    from gifgan_tpu.data.video import encode_mp4
     from gifgan_tpu.parallel.dp import (make_sharded_step, shard_batch_arrays,
                                         shard_train_state)
     from gifgan_tpu.train import vid as vid_train
@@ -146,8 +145,11 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
     np_rng = np.random.default_rng(tcfg.seed)
     sample_z = np_rng.uniform(-1, 1, (tcfg.batch_size, cfg.z_input_size)
                               ).astype(np.float32)
-    cross_z = cross_sample_z(8, tcfg.batch_size // 8 or 1, cfg.z_input_size,
-                             cfg.z_output_size, np_rng).astype(np.float32)
+    # rows = faces, cols = expressions — the reference's orientation
+    # (sample_cols=8 expressions per face row, z_model_lib.py:187-201)
+    cross_z = cross_sample_z(max(1, tcfg.batch_size // 8), min(8, tcfg.batch_size),
+                             cfg.z_input_size, cfg.z_output_size,
+                             np_rng).astype(np.float32)
     log = MetricsLogger(run_dir)
     step = int(jax.device_get(ts.step))
     for epoch in range(tcfg.epochs):
@@ -161,13 +163,12 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
             step += 1
             log.log(step, metrics)
             if tcfg.sample_every and step % tcfg.sample_every == 0:
-                host_ts = jax.device_get(ts)
                 for name, zz in (("sample", sample_z),
                                  ("cross_sample", cross_z)):
                     if name == "cross_sample" and cfg.first_frame_loss_scalar <= 0:
                         continue
                     vids = np.asarray(vid_train.sample_videos(
-                        host_ts, zz[:tcfg.batch_size], cfg))
+                        ts, zz[:tcfg.batch_size], cfg))
                     _write_video_grid(vids, 8, os.path.join(
                         run_dir, f"{name}_{epoch:02d}_{step:06d}.mp4"))
             if tcfg.checkpoint_every and step % tcfg.checkpoint_every == 0:
@@ -191,9 +192,12 @@ def _write_video_grid(videos: np.ndarray, cols: int, path: str,
 
     b, t, s, _, c = videos.shape
     cols = max(1, min(cols, b))
-    rows = max(1, b // cols)
+    rows = -(-b // cols)                   # ceil: never drop remainder videos
     u8 = denorm_u8(videos)
-    grid = u8[:rows * cols].reshape(rows, cols, t, s, s, c)
+    if rows * cols > b:                    # pad with black tiles
+        pad = np.zeros((rows * cols - b, t, s, s, c), np.uint8)
+        u8 = np.concatenate([u8, pad], axis=0)
+    grid = u8.reshape(rows, cols, t, s, s, c)
     grid = grid.transpose(2, 0, 3, 1, 4, 5).reshape(t, rows * s, cols * s, c)
     if c == 1:
         grid = np.repeat(grid, 3, axis=-1)

@@ -75,8 +75,11 @@ def init_train_state(key, cfg: VidGANConfig, tcfg: TrainConfig) -> VidTrainState
 
 
 def _fake_activations(params: VidGANParams, state: VidGANState, z: Array,
-                      cfg: VidGANConfig, keys) -> Tuple[Array, Array, Dict]:
-    """vidG(train) -> imgG(inference) -> noise -> imgD(inference) h2 tap."""
+                      cfg: VidGANConfig, keys):
+    """vidG(train) -> imgG(inference) -> noise -> imgD(inference) h2 tap.
+    Returns (noisy acts, g_out, vid G state, PRE-noise act std — the
+    collapse diagnostic is measured before the injected noise,
+    z_model_lib.py:85,90)."""
     g_out, vid_gs = vid_dcgan.vid_generator(
         params.vid_generator, state.vid_generator, z, cfg, train=True)
     frames, _ = dcgan.generator(
@@ -86,17 +89,19 @@ def _fake_activations(params: VidGANParams, state: VidGANState, z: Array,
     _, acts, _ = dcgan.discriminator(
         params.img_discriminator, state.img_discriminator, noisy_frames,
         cfg.image_gan, train=False)
+    pre_noise_std = nn.get_std(acts.reshape(acts.shape[0], -1))
     acts = nn.add_noise(keys[1], acts, cfg.activation_noise_std)
-    return acts, g_out, vid_gs
+    return acts, g_out, vid_gs, pre_noise_std
 
 
 def _real_activations(params: VidGANParams, state: VidGANState, frames: Array,
-                      cfg: VidGANConfig, keys) -> Array:
+                      cfg: VidGANConfig, keys):
     noisy = nn.add_noise(keys[0], frames, cfg.image_noise_std)
     _, acts, _ = dcgan.discriminator(
         params.img_discriminator, state.img_discriminator, noisy,
         cfg.image_gan, train=False)
-    return nn.add_noise(keys[1], acts, cfg.activation_noise_std)
+    pre_noise_std = nn.get_std(acts.reshape(acts.shape[0], -1))
+    return nn.add_noise(keys[1], acts, cfg.activation_noise_std), pre_noise_std
 
 
 def _d_step(ts: VidTrainState, frames: Array, z: Array, rng,
@@ -108,8 +113,10 @@ def _d_step(ts: VidTrainState, frames: Array, z: Array, rng,
         params = frozen._replace(vid_discriminator=trainable["vid"])
         if "img" in trainable:
             params = params._replace(img_discriminator=trainable["img"])
-        real_acts = _real_activations(params, ts.state, frames, cfg, keys[:2])
-        fake_acts, _, _ = _fake_activations(params, ts.state, z, cfg, keys[2:])
+        real_acts, real_std = _real_activations(params, ts.state, frames,
+                                                cfg, keys[:2])
+        fake_acts, _, _, fake_std = _fake_activations(params, ts.state, z,
+                                                      cfg, keys[2:])
         logits_real, ds1 = vid_dcgan.vid_discriminator(
             params.vid_discriminator, ts.state.vid_discriminator, real_acts,
             cfg, train=True)
@@ -117,9 +124,7 @@ def _d_step(ts: VidTrainState, frames: Array, z: Array, rng,
             params.vid_discriminator, ds1, fake_acts, cfg, train=True)
         loss_real = nn.sigmoid_ce(logits_real, jnp.ones_like(logits_real))
         loss_fake = nn.sigmoid_ce(logits_fake, jnp.zeros_like(logits_fake))
-        aux = (loss_real, loss_fake, ds2,
-               nn.get_std(real_acts.reshape(real_acts.shape[0], -1)),
-               nn.get_std(fake_acts.reshape(fake_acts.shape[0], -1)))
+        aux = (loss_real, loss_fake, ds2, real_std, fake_std)
         return loss_real + loss_fake, aux
 
     trainable = _d_trainable(ts.params, tcfg)
@@ -153,7 +158,7 @@ def _g_step(ts: VidTrainState, z: Array, rng, cfg: VidGANConfig,
         params = frozen._replace(vid_generator=trainable["vid"])
         if "img" in trainable:
             params = params._replace(img_generator=trainable["img"])
-        fake_acts, g_out, vid_gs = _fake_activations(
+        fake_acts, g_out, vid_gs, _ = _fake_activations(
             params, ts.state, z, cfg, keys)
         logits_fake, _ = vid_dcgan.vid_discriminator(
             params.vid_discriminator, ts.state.vid_discriminator, fake_acts,
