@@ -84,3 +84,13 @@ def test_broadcast_z_forward_and_tween():
     tw = np.asarray(tween_z(jnp.zeros(4), jnp.ones(4), 5))
     assert tw.shape == (5, 4)
     np.testing.assert_allclose(tw[2], 0.5)
+
+
+def test_tween_z_batched():
+    za = jnp.zeros((3, 4))
+    zb = jnp.ones((3, 4))
+    tw = np.asarray(tween_z(za, zb, 5))
+    assert tw.shape == (5, 3, 4)
+    np.testing.assert_allclose(tw[2], 0.5)
+    np.testing.assert_allclose(tw[0], 0.0)
+    np.testing.assert_allclose(tw[4], 1.0)

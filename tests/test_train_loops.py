@@ -97,3 +97,33 @@ def test_train_recurrent_refuses_overwrite(tmp_path):
     ts = loops.train_recurrent(lambda: it(), cfg, tcfg, resume=True,
                                steps_limit=2)
     assert int(ts.step) == 2
+
+
+def test_video_grid_pads_remainder(tmp_path):
+    pytest.importorskip("cv2")
+    from gifgan_tpu.data.video import decode_clip
+    from gifgan_tpu.train.loops import _write_video_grid
+
+    videos = np.random.default_rng(0).uniform(
+        -1, 1, (12, 3, 16, 16, 3)).astype(np.float32)
+    path = str(tmp_path / "grid.mp4")
+    _write_video_grid(videos, 8, path)
+    clip = decode_clip(path, 3, None, strict=False) if False else None
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    cap.release()
+    assert (w, h) == (8 * 16, 2 * 16)  # 2 rows (ceil 12/8), none dropped
+
+
+def test_cross_grid_orientation():
+    from gifgan_tpu.train.loops import cross_sample_z
+
+    rng = np.random.default_rng(0)
+    cross = cross_sample_z(2, 8, 20, 16, rng)  # 2 faces x 8 expressions
+    assert cross.shape == (16, 20)
+    # row-major: entries 0..7 share face dims, 0 and 8 share expression dims
+    np.testing.assert_array_equal(cross[0, :16], cross[7, :16])
+    np.testing.assert_array_equal(cross[0, 16:], cross[8, 16:])
