@@ -149,10 +149,20 @@ def mssim(a, b, window: int = 8) -> "jax.Array":
 def default_detector(cascade_path: Optional[str] = None,
                      scale_factor: float = 1.1, min_neighbors: int = 3,
                      min_size: int = 20, max_size_factor: float = 1.0):
-    """Best available Haar backend: OpenCV's CascadeClassifier when this
-    build has objdetect, otherwise the native gifgan_tpu.track.haar
-    evaluator. Either way, `cascade_path` points at a standard OpenCV
+    """Best available Haar backend, fastest first: the first-party C++
+    early-exit evaluator (native/haarcascade.cpp, ~66x the pure-Python path),
+    then OpenCV's CascadeClassifier if this build has objdetect, then the
+    pure-Python evaluator. `cascade_path` points at a standard OpenCV
     cascade XML (user-supplied model data)."""
+    if cascade_path is not None:
+        try:
+            from gifgan_tpu.track.haar import NativeHaarDetector
+
+            return NativeHaarDetector(cascade_path, scale_factor,
+                                      min_neighbors, min_size,
+                                      max_size_factor)
+        except RuntimeError:
+            pass
     if _HAVE_CV2 and hasattr(cv2, "CascadeClassifier"):
         return CV2HaarDetector(cascade_path, scale_factor, min_neighbors,
                                min_size, max_size_factor)

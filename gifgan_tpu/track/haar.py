@@ -560,3 +560,71 @@ class BatchedJaxHaarDetector(JaxHaarDetector):
         rect_lists = self.detect_batch(grays)
         return [[Detection.from_rect(r, i) for r in rects]
                 for i, rects in enumerate(rect_lists)]
+
+
+class NativeHaarDetector(HaarDetector):
+    """C++ early-exit cascade evaluator (native/haarcascade.cpp) — the
+    per-window branchy loop the CPU does best: windows die after the first
+    failed stage instead of evaluating all trees. Same cascade arrays and
+    rounding as the Python/JAX paths; cross-checked in tests."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        import ctypes
+
+        from gifgan_tpu.data.native_gif import _load
+
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable (make -C native)")
+        if not hasattr(lib, "gifgan_haar_create"):
+            raise RuntimeError("native library too old; rebuild")
+        lib.gifgan_haar_create.restype = ctypes.c_void_p
+        lib.gifgan_haar_detect.restype = ctypes.c_int
+        self._lib = lib
+        cas = self.cas
+        c_int_p = np.ctypeslib.ndpointer(np.int32, flags="C")
+        c_dbl_p = np.ctypeslib.ndpointer(np.float64, flags="C")
+        lib.gifgan_haar_create.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, c_dbl_p,
+            ctypes.c_int, c_int_p, c_dbl_p, c_int_p, c_int_p, c_dbl_p,
+            ctypes.c_int, c_int_p, c_int_p, c_dbl_p]
+        lib.gifgan_haar_detect.argtypes = [
+            ctypes.c_void_p, c_dbl_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags="C,WRITEABLE"),
+            ctypes.c_int]
+        # replace inf padding (unreached node 1) with a huge finite value
+        thr = np.where(np.isfinite(cas.node_thr), cas.node_thr, 1e30)
+        self._keepalive = (
+            np.ascontiguousarray(cas.rects, np.float64),
+            np.ascontiguousarray(cas.node_feat, np.int32),
+            np.ascontiguousarray(thr, np.float64),
+            np.ascontiguousarray(cas.node_left, np.int32),
+            np.ascontiguousarray(cas.node_right, np.int32),
+            np.ascontiguousarray(cas.leaves, np.float64),
+            np.ascontiguousarray(cas.stage_first, np.int32),
+            np.ascontiguousarray(cas.stage_count, np.int32),
+            np.ascontiguousarray(cas.stage_thr, np.float64),
+        )
+        k = self._keepalive
+        self._handle = lib.gifgan_haar_create(
+            cas.window_w, cas.window_h, cas.rects.shape[0], k[0],
+            len(cas.node_feat), k[1], k[2], k[3], k[4], k[5],
+            len(cas.stage_thr), k[6], k[7], k[8])
+
+    def __del__(self):
+        try:
+            self._lib.gifgan_haar_free(self._handle)
+        except Exception:
+            pass
+
+    def detect_rects(self, gray: np.ndarray) -> np.ndarray:
+        g = np.ascontiguousarray(gray, np.float64)
+        out = np.zeros((256, 4), np.int32)
+        n = self._lib.gifgan_haar_detect(
+            self._handle, g, g.shape[0], g.shape[1],
+            float(self.scale_factor), int(self.min_size),
+            float(self.max_size_factor), int(self.min_neighbors),
+            out.reshape(-1), 256)
+        return out[:n].copy()

@@ -113,3 +113,33 @@ def test_batched_detector_matches_single():
         assert len(batched[i]) == len(single)
         for db, ds in zip(batched[i], single):
             assert abs(db.x1 - ds.x1) <= 1 and abs(db.y1 - ds.y1) <= 1
+
+
+@pytest.mark.skipif(_cascade_path() is None, reason="no cascade XML on host")
+def test_native_cpp_cascade_matches_python():
+    from gifgan_tpu.data import native_gif
+    from gifgan_tpu.track.haar import NativeHaarDetector
+
+    if not native_gif.available():
+        pytest.skip("native lib not built")
+    face_dir = "/root/reference/firebase/public/mturk/nested_dcgan_samples"
+    if not os.path.isdir(face_dir):
+        pytest.skip("no face samples")
+    import imageio.v2 as imageio
+
+    det_cc = NativeHaarDetector(_cascade_path(), min_neighbors=2, min_size=20)
+    det_py = HaarDetector(_cascade_path(), min_neighbors=2, min_size=20)
+    for f in sorted(os.listdir(face_dir))[:3]:
+        frame = np.asarray(imageio.mimread(
+            os.path.join(face_dir, f))[0])[..., :3]
+        big = np.repeat(np.repeat(frame, 2, 0), 2, 1)
+        gray = np.dot(big.astype(np.float64), [0.299, 0.587, 0.114])
+        r_cc = det_cc.detect_rects(gray)
+        r_py = det_py.detect_rects(gray)
+        assert len(r_cc) == len(r_py)
+        if len(r_cc):
+            np.testing.assert_allclose(np.sort(r_cc, 0), np.sort(r_py, 0),
+                                       atol=2)
+    # noise: no false positives
+    rng = np.random.default_rng(0)
+    assert len(det_cc.detect_rects(rng.uniform(0, 255, (128, 128)))) == 0
