@@ -581,6 +581,10 @@ class NativeHaarDetector(HaarDetector):
             raise RuntimeError("native library too old; rebuild")
         lib.gifgan_haar_create.restype = ctypes.c_void_p
         lib.gifgan_haar_detect.restype = ctypes.c_int
+        # without explicit argtypes ctypes passes the 64-bit handle as a
+        # truncated C int — freeing a garbage pointer
+        lib.gifgan_haar_free.argtypes = [ctypes.c_void_p]
+        lib.gifgan_haar_free.restype = None
         self._lib = lib
         cas = self.cas
         c_int_p = np.ctypeslib.ndpointer(np.int32, flags="C")
@@ -614,10 +618,14 @@ class NativeHaarDetector(HaarDetector):
             len(cas.stage_thr), k[6], k[7], k[8])
 
     def __del__(self):
-        try:
-            self._lib.gifgan_haar_free(self._handle)
-        except Exception:
-            pass
+        handle = getattr(self, "_handle", None)
+        lib = getattr(self, "_lib", None)
+        if handle and lib is not None:
+            try:
+                lib.gifgan_haar_free(handle)
+            except Exception:
+                pass
+            self._handle = None
 
     def detect_rects(self, gray: np.ndarray) -> np.ndarray:
         g = np.ascontiguousarray(gray, np.float64)
