@@ -270,3 +270,19 @@ def test_survey_server_end_to_end(tmp_path):
             assert e.code in (403, 404)
     finally:
         server.shutdown()
+
+
+def test_explorer_serves_static_frontend(core):
+    import gifgan_tpu.serve as serve_pkg
+
+    static = os.path.join(os.path.dirname(serve_pkg.__file__), "static")
+    server = serve(core, port=0, background=True, static_dir=static)
+    port = server.server_address[1]
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/",
+                                    timeout=10) as r:
+            body = r.read()
+        assert b"latent explorer" in body
+        assert b"init_face" in body  # the JS calls the API routes
+    finally:
+        server.shutdown()
