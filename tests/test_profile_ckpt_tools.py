@@ -44,3 +44,19 @@ def test_export_import_inspect(tmp_path):
     text = ckpt_tools.inspect(str(tmp_path / "ck"))
     assert "params/w" in text and "(2, 3)" in text
     assert "total parameters" in text
+
+
+def test_metrics_logger(tmp_path):
+    import json
+
+    from gifgan_tpu.core.metrics import MetricsLogger
+
+    log = MetricsLogger(str(tmp_path), print_every=0)
+    log.log(1, {"d_loss": jnp.asarray(0.5), "note": "x"})
+    log.log(2, {"d_loss": jnp.asarray(0.25)})
+    log.close()
+    lines = [json.loads(l) for l in
+             open(tmp_path / "train_metrics.jsonl").read().splitlines()]
+    assert lines[0]["d_loss"] == 0.5 and lines[0]["step"] == 1
+    assert lines[0]["note"] == "x"
+    assert "steps_per_sec" in lines[1]
