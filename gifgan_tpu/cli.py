@@ -387,12 +387,13 @@ def cmd_invert(args):
     if args.input_paths:
         for i, p in enumerate(args.input_paths):
             import numpy as _np
-            from numpy import array  # noqa: F401
             if p.endswith(".npy"):
                 path_zs = _np.load(p)
             else:
+                from gifgan_tpu.serve.explorer import parse_z_text
+
                 with open(p) as f:
-                    path_zs = _np.asarray(eval(f.read()))
+                    path_zs = parse_z_text(f.read())
             vid = np.asarray(apply_latent_path(params, state, z[:1],
                                                path_zs, cfg))[:, 0]
             from gifgan_tpu.ops.image import denorm_u8

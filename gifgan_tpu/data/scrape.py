@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 import re
 import threading
+from urllib.parse import quote_plus
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Set
 
@@ -102,6 +103,15 @@ class Scraper:
                 self.stats.per_keyword.get(keyword, 0) + 1)
             return True
 
+    def _unclaim(self, vid: str, keyword: str) -> None:
+        """Roll back a claim whose download failed so a retry (or another
+        worker) can fetch it and the stats stay truthful."""
+        with self._lock:
+            self._seen.discard(vid)
+            self.stats.new_total -= 1
+            self.stats.per_keyword[keyword] = (
+                self.stats.per_keyword.get(keyword, 1) - 1)
+
     def _worker(self, thread_id: int, keyword: str, kw_dir: str):
         pages = self.items_per_thread // 100
         i = 0
@@ -109,16 +119,21 @@ class Scraper:
         while i < pages and failures < self.max_consecutive_failures:
             offset = thread_id * self.items_per_thread + 100 * i
             try:
-                url = SEARCH_URL.format(query=keyword, key=self.api_key,
-                                        offset=offset)
+                url = SEARCH_URL.format(query=quote_plus(keyword),
+                                        key=self.api_key, offset=offset)
                 payload = self.fetch_fn(url).decode("utf-8", "replace")
                 for mp4_url in extract_mp4_urls(payload):
                     vid = media_id(mp4_url)
                     if vid is None or not self._claim(vid, keyword):
                         continue
-                    data = self.fetch_fn(mp4_url)
-                    with open(os.path.join(kw_dir, vid + ".mp4"), "wb") as f:
-                        f.write(data)
+                    try:
+                        data = self.fetch_fn(mp4_url)
+                        with open(os.path.join(kw_dir, vid + ".mp4"),
+                                  "wb") as f:
+                            f.write(data)
+                    except Exception:
+                        self._unclaim(vid, keyword)
+                        raise
                 i += 1
                 failures = 0
             except Exception:

@@ -96,8 +96,11 @@ def write_gif(path: str, frames: np.ndarray, fps: float = 8.0,
     if not HAVE_IMAGEIO:
         raise RuntimeError("no GIF encoder available on this host")
     tmp = path + ".tmp.gif" if atomic else path
+    # the legacy GIF-PIL plugin selected by format="GIF" takes duration in
+    # SECONDS (it writes int(duration*100) centiseconds) — not the ms the
+    # v3 pillow plugin takes
     imageio.mimwrite(tmp, list(frames), format="GIF",
-                     duration=1000.0 / fps, loop=0)
+                     duration=1.0 / fps, loop=0)
     if atomic:
         os.replace(tmp, path)
 

@@ -20,6 +20,7 @@ every request without recompiles.
 
 from __future__ import annotations
 
+import ast
 import json
 import os
 import re
@@ -27,6 +28,22 @@ import threading
 from typing import Callable, Dict, List, Optional
 
 import numpy as np
+
+
+def parse_z_text(text: str) -> np.ndarray:
+    """Parse a pasted z description — JSON, or the textified-numpy protocol
+    (repr'd arrays) — WITHOUT eval (the reference eval()s request params,
+    explorer.py:341; that is remote code execution on a served port)."""
+    text = text.strip()
+    try:
+        return np.asarray(json.loads(text), np.float32)
+    except (json.JSONDecodeError, ValueError):
+        pass
+    # strip numpy repr wrappers: array(...), dtype=..., whitespace
+    cleaned = re.sub(r"dtype=[A-Za-z0-9_.]+", "", text)
+    cleaned = cleaned.replace("array(", "(").replace("\n", " ")
+    cleaned = re.sub(r",\s*\)", ")", cleaned)
+    return np.asarray(ast.literal_eval(cleaned), np.float32)
 
 
 class ExplorerCore:
@@ -103,10 +120,19 @@ class ExplorerCore:
         self._update_direction_paths()
 
     def _response(self) -> Dict:
+        # full-precision, untruncated textified arrays (plain repr elides
+        # with '...' past 1000 elements, breaking the save/load round trip)
+        def textify(a):
+            if a is None:
+                return repr(None)
+            return "array(" + np.array2string(
+                np.asarray(a), threshold=np.inf, max_line_width=int(1e9),
+                separator=", ") + ")"
+
         msg = {
-            "video_zs": repr(np.array(self.video_zs)),
+            "video_zs": textify(np.array(self.video_zs)),
             "video_paths": list(self.video_paths),
-            "directions": repr(self.directions),
+            "directions": textify(self.directions),
             "direction_paths": self.direction_paths,
         }
         self.last_response = {"response": "success", "msg": msg}
@@ -219,9 +245,7 @@ class ExplorerCore:
         """Paste a saved z array (repr'd text or array). relative: apply as
         deltas from the current last frame (explorer.py:325-360)."""
         if isinstance(zs, str):
-            from numpy import array  # noqa: F401 — repr'd arrays eval to this
-
-            zs = eval(zs)  # matches the reference's textified-array protocol
+            zs = parse_z_text(zs)
         zs = np.asarray(zs, np.float32).reshape(-1, self.z_dim)
         if relative:
             if not self.video_zs:
@@ -260,6 +284,8 @@ def make_handler(core: ExplorerCore, static_dir: Optional[str] = None):
     from http.server import BaseHTTPRequestHandler
     from urllib.parse import parse_qs, urlparse
 
+    core_lock = threading.RLock()  # ExplorerCore state is not thread-safe
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -287,6 +313,10 @@ def make_handler(core: ExplorerCore, static_dir: Optional[str] = None):
             self.wfile.write(body)
 
         def _dispatch(self):
+            with core_lock:
+                return self._dispatch_locked()
+
+        def _dispatch_locked(self):
             u = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
             if self.command == "POST":

@@ -128,8 +128,9 @@ def serve(survey: SurveyServer, host: str = "127.0.0.1", port: int = 8082,
                 return self._send(json.dumps(survey.results()).encode(),
                                   "application/json")
             rel = path.lstrip("/")
-            full = os.path.normpath(os.path.join(survey.sample_dir, rel))
-            if not full.startswith(os.path.abspath(survey.sample_dir)):
+            base = os.path.abspath(survey.sample_dir)
+            full = os.path.abspath(os.path.join(base, rel))
+            if full != base and not full.startswith(base + os.sep):
                 return self._send(b"{}", "application/json", 403)
             if rel == "manifest.json" or rel.endswith(".gif"):
                 try:

@@ -126,10 +126,10 @@ def load_latent_paths(path_dir: str, z_dim: int) -> Dict[str, np.ndarray]:
         if ext == ".npy":
             arr = np.load(full)
         elif ext == ".txt":
-            from numpy import array  # noqa: F401
+            from gifgan_tpu.serve.explorer import parse_z_text
 
             with open(full) as f:
-                arr = np.asarray(eval(f.read()))
+                arr = parse_z_text(f.read())
         else:
             continue
         arr = np.asarray(arr, np.float32).reshape(-1, z_dim)

@@ -207,12 +207,16 @@ def _eval_stages(cas: HaarCascade, ii, ii2, xs, ys, scale: float,
 
 def group_rectangles(boxes: np.ndarray, min_neighbors: int,
                      eps: float = 0.2) -> np.ndarray:
-    """cv2.groupRectangles-style clustering: boxes (N, 4) as x,y,w,h;
-    cluster boxes whose edges are within eps-relative distance, keep
-    clusters with >= min_neighbors members, return averaged boxes."""
+    """cv2.groupRectangles semantics: boxes (N, 4) as x,y,w,h; cluster boxes
+    whose edges are within eps-relative distance, keep clusters with
+    STRICTLY MORE than min_neighbors members (OpenCV eliminates clusters
+    "smaller or equal to groupThreshold"), return averaged boxes.
+    min_neighbors=0 returns the boxes ungrouped (cv2 behavior)."""
     n = len(boxes)
     if n == 0:
         return np.zeros((0, 4), np.int32)
+    if min_neighbors <= 0:
+        return np.asarray(boxes, np.int32).reshape(-1, 4)
     parent = np.arange(n)
 
     def find(i):
@@ -236,7 +240,7 @@ def group_rectangles(boxes: np.ndarray, min_neighbors: int,
     out = []
     for root in np.unique(roots):
         members = b[roots == root]
-        if len(members) >= max(min_neighbors, 1):
+        if len(members) > min_neighbors:
             out.append(np.round(members.mean(axis=0)))
     return np.asarray(out, np.int32).reshape(-1, 4)
 

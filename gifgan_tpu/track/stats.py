@@ -226,17 +226,20 @@ _DASHBOARD_TEMPLATE = """<!DOCTYPE html>
 const data = %(payload)s;
 const charts = document.getElementById('charts');
 for (const [name, hist] of Object.entries(data.histograms)) {
-  const keys = Object.keys(hist).map(Number).sort((a,b)=>a-b);
-  if (!keys.length) continue;
-  const w = 260, h = 120, max = Math.max(...keys.map(k=>hist[k]));
-  const bw = Math.max(2, Math.floor(w / keys.length) - 1);
+  // keep ORIGINAL string keys for lookup (Number("1.0") -> 1 would miss
+  // the "1.0" property); sort numerically
+  const entries = Object.entries(hist)
+    .sort((a, b) => Number(a[0]) - Number(b[0]));
+  if (!entries.length) continue;
+  const w = 260, h = 120, max = Math.max(...entries.map(e => e[1]));
+  const bw = Math.max(2, Math.floor(w / entries.length) - 1);
   let bars = '';
-  keys.forEach((k, i) => {
-    const bh = Math.round((hist[k] / max) * (h - 20));
+  entries.forEach(([k, v], i) => {
+    const bh = Math.round((v / max) * (h - 20));
     bars += `<rect class="bar" x="${i*(bw+1)}" y="${h-bh-12}" width="${bw}"
-             height="${bh}"><title>${k}: ${hist[k]}</title></rect>`;
-    if (i %% Math.ceil(keys.length/8) === 0)
-      bars += `<text x="${i*(bw+1)}" y="${h-2}">${k}</text>`;
+             height="${bh}"><title>${k}: ${v}</title></rect>`;
+    if (i %% Math.ceil(entries.length/8) === 0)
+      bars += `<text x="${i*(bw+1)}" y="${h-2}">${Number(k)}</text>`;
   });
   charts.insertAdjacentHTML('beforeend',
     `<div class="card"><h2>${name}</h2>

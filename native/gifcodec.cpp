@@ -84,8 +84,16 @@ bool lzw_decode(Reader& r, int min_code_size, std::vector<uint8_t>& out,
       continue;
     }
     if (code == eoi_code) {
-      // consume remaining sub-blocks
-      while (block_remaining > 0) { r.skip(block_remaining); block_remaining = r.u8(); }
+      // consume remaining sub-blocks INCLUDING the 0x00 terminator (the old
+      // while-loop skipped nothing when block_remaining was already 0,
+      // leaving the terminator to be misread as a block type and dropping
+      // all later frames)
+      r.skip(block_remaining);
+      for (;;) {
+        uint8_t sz = r.u8();
+        if (!r.ok || sz == 0) break;
+        r.skip(sz);
+      }
       return true;
     }
 

@@ -49,6 +49,10 @@ inline double rect_sum(const double* ii, long base, const long* off) {
 void group_rectangles(std::vector<int>& boxes, int min_neighbors,
                       double eps, std::vector<int>& out) {
   const int n = static_cast<int>(boxes.size() / 4);
+  if (min_neighbors <= 0) {           // cv2: groupThreshold 0 = no grouping
+    out = boxes;
+    return;
+  }
   std::vector<int> parent(n);
   for (int i = 0; i < n; ++i) parent[i] = i;
   std::vector<int>& p = parent;
@@ -77,7 +81,8 @@ void group_rectangles(std::vector<int>& boxes, int min_neighbors,
     for (int k = 0; k < 4; ++k) acc[4 * r + k] += boxes[4 * i + k];
   }
   for (int i = 0; i < n; ++i) {
-    if (p[i] == i && count[i] >= std::max(min_neighbors, 1)) {
+    // cv2 eliminates clusters with size <= groupThreshold (strict >)
+    if (p[i] == i && count[i] > min_neighbors) {
       for (int k = 0; k < 4; ++k)
         out.push_back(static_cast<int>(std::lround(acc[4 * i + k] / count[i])));
     }

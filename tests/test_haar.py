@@ -38,15 +38,20 @@ def test_integral_images():
 
 
 def test_group_rectangles():
+    """cv2.groupRectangles semantics: keep clusters with STRICTLY more than
+    min_neighbors members; 0 = no grouping."""
     boxes = np.array([
         [10, 10, 20, 20], [11, 10, 20, 20], [10, 11, 21, 20],  # cluster of 3
         [80, 80, 20, 20],                                        # singleton
     ])
-    out = group_rectangles(boxes, min_neighbors=2)
+    out = group_rectangles(boxes, min_neighbors=2)   # 3 > 2 -> kept
     assert out.shape == (1, 4)
     assert abs(out[0, 0] - 10.33) < 1
-    out_all = group_rectangles(boxes, min_neighbors=1)
-    assert out_all.shape == (2, 4)
+    assert group_rectangles(boxes, min_neighbors=3).shape == (0, 4)
+    out1 = group_rectangles(boxes, min_neighbors=1)  # singleton 1 > 1 false
+    assert out1.shape == (1, 4)
+    out0 = group_rectangles(boxes, min_neighbors=0)  # ungrouped passthrough
+    assert out0.shape == (4, 4)
     assert group_rectangles(np.zeros((0, 4), int), 2).shape == (0, 4)
 
 
