@@ -162,7 +162,8 @@ def cmd_train_vid(args):
 
     loops.train_vid_dcgan(clips_iter, cfg, _train_cfg(args),
                           image_gan_ckpt=args.image_gan_checkpoint,
-                          mesh=_mesh_arg(args), steps_limit=args.steps_limit)
+                          mesh=_mesh_arg(args), steps_limit=args.steps_limit,
+                          chunk=args.chunk)
 
 
 def cmd_train_recurrent(args):
@@ -578,6 +579,8 @@ def main(argv=None):
     p.add_argument("--activation-noise", type=float, default=0.0)
     p.add_argument("--first-frame-loss-scalar", type=float, default=0.0)
     p.add_argument("--image-gan-checkpoint", default=None)
+    p.add_argument("--chunk", type=int, default=1,
+                   help="batches per XLA program (lax.scan; ~2x at scale)")
     p.add_argument("--train-img-gen", action="store_true")
     p.add_argument("--train-img-disc", action="store_true")
     p.set_defaults(fn=cmd_train_vid)

@@ -115,8 +115,14 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
                     cfg: VidGANConfig, tcfg: TrainConfig,
                     image_gan_ckpt: Optional[str] = None,
                     mesh=None, resume: bool = True,
-                    steps_limit: Optional[int] = None):
-    """clips_iter yields time-folded (B*T, s, s, c) float [-1,1] batches."""
+                    steps_limit: Optional[int] = None,
+                    chunk: int = 1):
+    """clips_iter yields time-folded (B*T, s, s, c) float [-1,1] batches.
+
+    chunk>1 accumulates K batches and runs them as ONE XLA program
+    (train_chunk) — ~2x throughput at flagship scale (host dispatch costs as
+    much as the math per step). Sampling/checkpoint cadence then lands on
+    chunk boundaries."""
     from gifgan_tpu.parallel.dp import (make_sharded_step, shard_batch_arrays,
                                         shard_train_state)
     from gifgan_tpu.train import vid as vid_train
@@ -142,6 +148,7 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
     else:
         step_fn = lambda *a: vid_train.train_step(*a, cfg, tcfg)
 
+    pending_frames, pending_z = [], []
     np_rng = np.random.default_rng(tcfg.seed)
     sample_z = np_rng.uniform(-1, 1, (tcfg.batch_size, cfg.z_input_size)
                               ).astype(np.float32)
@@ -159,9 +166,23 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
             if mesh is not None:
                 frames = shard_batch_arrays(mesh, frames)
             z = uniform_z(rngs.next(), (b, cfg.z_input_size))
-            ts, metrics = step_fn(ts, frames, z, rngs.next())
-            step += 1
-            log.log(step, metrics)
+            if chunk > 1 and mesh is None:
+                pending_frames.append(frames)
+                pending_z.append(np.asarray(z))
+                if len(pending_frames) < chunk:
+                    continue
+                from gifgan_tpu.train.vid import train_chunk
+
+                ts, metrics = train_chunk(
+                    ts, np.stack(pending_frames), np.stack(pending_z),
+                    rngs.next(), cfg, tcfg)
+                pending_frames, pending_z = [], []
+                step += chunk
+                log.log(step, {k: v[-1] for k, v in metrics.items()})
+            else:
+                ts, metrics = step_fn(ts, frames, z, rngs.next())
+                step += 1
+                log.log(step, metrics)
             if tcfg.sample_every and step % tcfg.sample_every == 0:
                 for name, zz in (("sample", sample_z),
                                  ("cross_sample", cross_z)):

@@ -127,3 +127,22 @@ def test_cross_grid_orientation():
     # row-major: entries 0..7 share face dims, 0 and 8 share expression dims
     np.testing.assert_array_equal(cross[0, :16], cross[7, :16])
     np.testing.assert_array_equal(cross[0, 16:], cross[8, 16:])
+
+
+def test_train_vid_loop_chunked(tmp_path):
+    pytest.importorskip("cv2")
+    cfg = VidGANConfig(z_input_size=20, z_output_size=16, vid_length=4,
+                       hidden_dim=32, d_filters=16, image_gan=IMG,
+                       first_frame_loss_scalar=1.0)
+    tcfg = TrainConfig(batch_size=4, epochs=4, sample_every=0,
+                       checkpoint_every=0, run_dir=str(tmp_path / "vc"))
+    clips = synthetic_clips(8, length=4, size=32).astype(np.float32)
+    folded = clips.reshape(2, 4 * 4, 32, 32, 3) / 127.5 - 1.0
+
+    def it():
+        yield folded[0]
+        yield folded[1]
+
+    ts = loops.train_vid_dcgan(lambda: it(), cfg, tcfg, chunk=2,
+                               steps_limit=4)
+    assert int(ts.step) == 4  # 2 chunks of 2 per... epochs x 2 batches
