@@ -125,3 +125,17 @@ def test_tensor_parallel_generator_matches_replicated(key):
         out, _ = jax.jit(dcgan.generator, static_argnames=("cfg", "train"))(
             tp_params, state.generator, z, IMG, False)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=5e-3, atol=1e-4)
+
+
+def test_dryrun_multichip_driver_style():
+    """The driver imports __graft_entry__ and calls dryrun_multichip in a
+    process whose jax is already initialized (here: 8-CPU, in the driver's
+    run: the single-chip axon TPU plugin). Round 1 failed this exact call
+    (MULTICHIP_r01.json ok:false); the function must now succeed regardless
+    of the caller's backend state by re-exec'ing with the CPU-mesh forcing."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    graft = importlib.import_module("__graft_entry__")
+    graft.dryrun_multichip(4)  # 4 keeps the CPU compile small
