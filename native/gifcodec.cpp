@@ -125,8 +125,18 @@ bool lzw_decode(Reader& r, int min_code_size, std::vector<uint8_t>& out,
     }
     prev = code;
     if (out.size() >= max_pixels) {
-      // drain remaining sub-blocks
-      while (block_remaining > 0) { r.skip(block_remaining); block_remaining = r.u8(); if (!r.ok) return false; }
+      // Drain remaining sub-blocks up to AND INCLUDING the 0x00 terminator,
+      // unconditionally: when the pixel cap lands exactly on a sub-block
+      // boundary (block_remaining == 0) there is still a final sub-block
+      // holding the EOI code plus the terminator; leaving them unconsumed
+      // makes the next byte get misparsed as a block type and silently
+      // drops all later frames.
+      r.skip(block_remaining);
+      for (;;) {
+        uint8_t sz = r.u8();
+        if (!r.ok || sz == 0) break;
+        r.skip(sz);
+      }
       return true;
     }
   }

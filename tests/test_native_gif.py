@@ -76,3 +76,48 @@ def test_speed_vs_imageio():
     imageio_t = (time.perf_counter() - t0) / 5
     # the native path should never be slower than the Python stack
     assert native_t < imageio_t * 1.5, (native_t, imageio_t)
+
+
+def test_frame_data_ending_exactly_at_subblock_boundary():
+    """Regression: when a frame's pixel codes end exactly at a sub-block
+    boundary, the EOI code lives in a *following* sub-block. The decoder
+    must still consume that sub-block + the 0x00 terminator, or the next
+    byte is misparsed as a block type and all later frames are dropped
+    (happens on ~1/255 of real frames that fill a 255-byte sub-block)."""
+    import struct
+
+    def u16(v):
+        return struct.pack("<H", v)
+
+    def pack_codes(codes, nbits):
+        val = 0
+        for i, c in enumerate(codes):
+            val |= c << (nbits * i)
+        total_bits = nbits * len(codes)
+        nbytes = (total_bits + 7) // 8
+        return val.to_bytes(nbytes, "little")
+
+    clear, eoi = 4, 5  # min_code_size=2
+    # frame 1: clear before every pixel keeps code width at 3 bits;
+    # 8 codes x 3 bits = 24 bits = exactly 3 bytes -> pixel data fills
+    # sub-block 1 exactly; EOI goes in its own sub-block 2.
+    f1_codes = [clear, 0, clear, 1, clear, 2, clear, 3]
+    f1_data = pack_codes(f1_codes, 3)
+    assert len(f1_data) == 3
+    f1_blocks = bytes([3]) + f1_data + bytes([1]) + pack_codes([eoi], 3) + b"\x00"
+    # frame 2: ordinary single sub-block with EOI inline
+    f2_codes = [clear, 3, clear, 2, clear, 1, clear, 0, eoi]
+    f2_data = pack_codes(f2_codes, 3)
+    f2_blocks = bytes([len(f2_data)]) + f2_data + b"\x00"
+
+    palette = bytes(v for i in range(4) for v in (i * 80, i * 80, i * 80))
+    img_desc = b"\x2c" + u16(0) + u16(0) + u16(2) + u16(2) + b"\x00"
+    gif = (b"GIF89a" + u16(2) + u16(2) + bytes([0x91, 0, 0]) + palette
+           + img_desc + bytes([2]) + f1_blocks
+           + img_desc + bytes([2]) + f2_blocks
+           + b"\x3b")
+
+    frames = native_gif.decode_gif_bytes(gif)
+    assert frames.shape == (2, 2, 2, 3), frames.shape
+    np.testing.assert_array_equal(frames[0, ..., 0], [[0, 80], [160, 240]])
+    np.testing.assert_array_equal(frames[1, ..., 0], [[240, 160], [80, 0]])
