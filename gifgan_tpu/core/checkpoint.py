@@ -120,6 +120,7 @@ def restore(ckpt_dir: str, target: Any, step: Optional[int] = None,
     flat_ckpt = load_flat(ckpt_dir, step)
     leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(target)
     new_leaves = []
+    matched, missing = [], []
     for path, leaf in leaves_with_paths:
         key = SEP.join(_path_str(p) for p in path)
         if any(key == e or key.startswith(e + SEP) for e in exclude):
@@ -130,8 +131,14 @@ def restore(ckpt_dir: str, target: Any, step: Optional[int] = None,
             arr = flat_ckpt[ckpt_key]
             new_leaves.append(np.asarray(arr, dtype=np.asarray(leaf).dtype)
                               .reshape(np.shape(leaf)))
+            matched.append(ckpt_key)
         else:
             new_leaves.append(leaf)
+            missing.append(ckpt_key)
+    # A no-op restore must be loud: the reference's tf.train.Saver raises on
+    # missing variables; silently keeping fresh random params means "training
+    # proceeds with a random model while printing success" (ADVICE round 1).
+    _check_match("restore", ckpt_dir, matched, missing, flat_ckpt)
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
@@ -150,6 +157,7 @@ def graft(ckpt_dir: str, target: Any, subpath: str, ckpt_prefix: str = "",
     flat_ckpt = load_flat(ckpt_dir, step)
     leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(target)
     new_leaves = []
+    matched, missing = [], []
     sp = subpath.rstrip(SEP) + SEP
     for path, leaf in leaves_with_paths:
         key = SEP.join(_path_str(p) for p in path)
@@ -160,6 +168,30 @@ def graft(ckpt_dir: str, target: Any, subpath: str, ckpt_prefix: str = "",
                     np.asarray(flat_ckpt[ckpt_key],
                                dtype=np.asarray(leaf).dtype)
                     .reshape(np.shape(leaf)))
+                matched.append(ckpt_key)
                 continue
+            missing.append(ckpt_key)
         new_leaves.append(leaf)
+    # Grafting nothing (wrong subpath/ckpt_prefix/architecture) must raise,
+    # not leave the frozen image GAN at random init (ADVICE round 1).
+    _check_match("graft", ckpt_dir, matched, missing, flat_ckpt)
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def _check_match(op: str, ckpt_dir: str, matched: List[str],
+                 missing: List[str], flat_ckpt: Dict[str, np.ndarray]) -> None:
+    """Raise on a zero-key no-op; warn on partial matches and on checkpoint
+    keys that nothing consumed (likely a layout mismatch)."""
+    if not matched:
+        sample_ckpt = sorted(flat_ckpt)[:5]
+        sample_want = missing[:5]
+        raise KeyError(
+            f"{op}: 0 of {len(missing)} target leaves matched any checkpoint "
+            f"key in {ckpt_dir} — wrong prefix/subpath or architecture? "
+            f"wanted e.g. {sample_want}, checkpoint has e.g. {sample_ckpt}")
+    if missing:
+        import warnings
+
+        warnings.warn(
+            f"{op}: {len(missing)} target leaves had no checkpoint key "
+            f"(kept current values), e.g. {missing[:5]}", stacklevel=3)

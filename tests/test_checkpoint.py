@@ -93,3 +93,30 @@ def test_optimizer_reset_pattern(key):
     mu_after = jax.tree_util.tree_leaves(ts_reset.opt_g)[0]
     assert float(jnp.sum(jnp.abs(mu_before))) > 0
     assert float(jnp.sum(jnp.abs(mu_after))) == 0
+
+
+import pytest
+from gifgan_tpu.core import checkpoint
+
+
+def test_restore_zero_match_raises(tmp_path):
+    """A restore/graft that matches zero keys (wrong prefix/architecture)
+    must raise instead of silently keeping random init (ADVICE round 1:
+    the reference's tf.train.Saver raises on missing variables)."""
+    d = str(tmp_path / "ck")
+    checkpoint.save(d, 1, {"a": {"w": np.ones((2,))}})
+    with pytest.raises(KeyError):
+        checkpoint.restore(d, {"b": {"v": np.zeros((2,))}})
+    with pytest.raises(KeyError):
+        checkpoint.graft(d, {"outer": {"v": np.zeros((2,))}},
+                         subpath="outer", ckpt_prefix="nope/")
+
+
+def test_restore_partial_match_warns(tmp_path):
+    d = str(tmp_path / "ck")
+    checkpoint.save(d, 1, {"a": np.ones((2,))})
+    target = {"a": np.zeros((2,)), "extra": np.zeros((3,))}
+    with pytest.warns(UserWarning, match="1 target leaves"):
+        out = checkpoint.restore(d, target)
+    np.testing.assert_array_equal(out["a"], np.ones((2,)))
+    np.testing.assert_array_equal(out["extra"], np.zeros((3,)))
