@@ -28,6 +28,31 @@ from gifgan_tpu.ops.image import (denorm_u8, inverse_transform,
                                   merge_grid, to_uint8)
 
 
+def _resume_rngs(seed: int, start_step: int) -> PRNGSequence:
+    """Key stream for a (possibly resumed) run. Folding the restored step
+    into the seed keeps resume segments decorrelated — restarting from
+    PRNGSequence(seed) would replay the exact z/noise stream already consumed
+    before the checkpoint (ADVICE round 1)."""
+    if start_step:
+        return PRNGSequence(jax.random.fold_in(jax.random.PRNGKey(seed),
+                                               start_step))
+    return PRNGSequence(seed)
+
+
+def _epoch_iter(factory: Callable, epoch_seed: int) -> Iterator[np.ndarray]:
+    """Call a data-iterator factory, passing a per-epoch/per-resume-segment
+    seed when the factory accepts one (so shuffles differ across epochs and
+    across resume segments)."""
+    import inspect
+
+    try:
+        if len(inspect.signature(factory).parameters) >= 1:
+            return factory(epoch_seed)
+    except (TypeError, ValueError):
+        pass
+    return factory()
+
+
 def _save_grid(samples: np.ndarray, rows: int, cols: int, path: str,
                from_range: str = "[-1,1]") -> None:
     import imageio.v2 as imageio
@@ -73,6 +98,7 @@ def train_dcgan(images_iter: Callable[[], Iterator[np.ndarray]],
         tree = ckpt.restore(ckpt_dir, ts._asdict())
         ts = gan.TrainState(**tree)
         print(f"resumed from step {int(ts.step)}")
+        rngs = _resume_rngs(tcfg.seed, int(ts.step))
 
     if mesh is not None:
         ts = shard_train_state(mesh, ts)
@@ -84,8 +110,10 @@ def train_dcgan(images_iter: Callable[[], Iterator[np.ndarray]],
     sample_z = uniform_z(rngs.next(), (64, cfg.z_dim))
     log = MetricsLogger(run_dir)
     step = int(jax.device_get(ts.step))
+    start_step = step
     for epoch in range(tcfg.epochs):
-        for batch in PrefetchLoader(images_iter()):
+        for batch in PrefetchLoader(_epoch_iter(images_iter,
+                                                tcfg.seed + start_step + epoch)):
             batch = np.asarray(batch)
             if mesh is not None:
                 batch = shard_batch_arrays(mesh, batch)
@@ -137,6 +165,7 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
     if resume and ckpt.latest_step(ckpt_dir) is not None:
         ts = vid_train.VidTrainState(**ckpt.restore(ckpt_dir, ts._asdict()))
         print(f"resumed from step {int(ts.step)}")
+        rngs = _resume_rngs(tcfg.seed, int(ts.step))
     elif image_gan_ckpt:
         ts = vid_train.load_image_gan(ts, image_gan_ckpt)
         print(f"loaded frozen image GAN from {image_gan_ckpt}")
@@ -145,8 +174,15 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
         ts = shard_train_state(mesh, ts)
         step_fn = make_sharded_step(vid_train.train_step, mesh,
                                     static_args={"cfg": cfg, "tcfg": tcfg})
+        # chunked (K, B*T, ...) stacks shard over axis 1 — frames shard like
+        # batch, the chunk axis is the lax.scan axis (tests/test_sharding.py)
+        chunk_fn = make_sharded_step(vid_train.train_chunk, mesh,
+                                     static_args={"cfg": cfg, "tcfg": tcfg},
+                                     batch_axis=1) if chunk > 1 else None
     else:
         step_fn = lambda *a: vid_train.train_step(*a, cfg, tcfg)
+        chunk_fn = ((lambda *a: vid_train.train_chunk(*a, cfg, tcfg))
+                    if chunk > 1 else None)
 
     pending_frames, pending_z = [], []
     np_rng = np.random.default_rng(tcfg.seed)
@@ -159,27 +195,38 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
                              np_rng).astype(np.float32)
     log = MetricsLogger(run_dir)
     step = int(jax.device_get(ts.step))
+    start_step = step
+
+    def flush_pending():
+        """Train the accumulated (possibly partial) chunk as one XLA program.
+        Called at chunk boundaries AND at epoch/steps_limit exit so trailing
+        batches are trained and logged, not dropped (ADVICE round 1)."""
+        nonlocal ts, step
+        if not pending_frames:
+            return
+        k = len(pending_frames)
+        fstack, zstack = np.stack(pending_frames), np.stack(pending_z)
+        pending_frames.clear()
+        pending_z.clear()
+        ts, metrics = chunk_fn(ts, fstack, zstack, rngs.next())
+        step += k
+        log.log(step, {key: v[-1] for key, v in metrics.items()})
+
     for epoch in range(tcfg.epochs):
-        for frames in PrefetchLoader(clips_iter()):
+        for frames in PrefetchLoader(
+                _epoch_iter(clips_iter, tcfg.seed + start_step + epoch)):
             frames = np.asarray(frames)
             b = frames.shape[0] // cfg.vid_length
-            if mesh is not None:
-                frames = shard_batch_arrays(mesh, frames)
             z = uniform_z(rngs.next(), (b, cfg.z_input_size))
-            if chunk > 1 and mesh is None:
+            if chunk_fn is not None:
                 pending_frames.append(frames)
                 pending_z.append(np.asarray(z))
                 if len(pending_frames) < chunk:
                     continue
-                from gifgan_tpu.train.vid import train_chunk
-
-                ts, metrics = train_chunk(
-                    ts, np.stack(pending_frames), np.stack(pending_z),
-                    rngs.next(), cfg, tcfg)
-                pending_frames, pending_z = [], []
-                step += chunk
-                log.log(step, {k: v[-1] for k, v in metrics.items()})
+                flush_pending()
             else:
+                if mesh is not None:
+                    frames = shard_batch_arrays(mesh, frames)
                 ts, metrics = step_fn(ts, frames, z, rngs.next())
                 step += 1
                 log.log(step, metrics)
@@ -197,6 +244,8 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
                           max_to_keep=tcfg.max_checkpoints_to_keep)
             if steps_limit and step >= steps_limit:
                 break
+        if chunk_fn is not None:
+            flush_pending()  # epoch-tail partial chunk
         if steps_limit and step >= steps_limit:
             break
     ckpt.save(ckpt_dir, step, jax.device_get(ts)._asdict(),
@@ -249,11 +298,14 @@ def train_recurrent(clips_iter: Callable[[], Iterator[np.ndarray]],
         ts = rtrain.RecurrentTrainState(**ckpt.restore(ckpt_dir,
                                                        ts._asdict()))
         print(f"resumed from step {int(ts.step)}")
+        rngs = _resume_rngs(tcfg.seed, int(ts.step))
 
     log = MetricsLogger(run_dir)
     step = int(jax.device_get(ts.step))
+    start_step = step
     for epoch in range(tcfg.epochs):
-        for clips in PrefetchLoader(clips_iter()):
+        for clips in PrefetchLoader(
+                _epoch_iter(clips_iter, tcfg.seed + start_step + epoch)):
             import jax.numpy as jnp
 
             ts, metrics = rtrain.train_step(ts, jnp.asarray(clips),

@@ -146,3 +146,80 @@ def test_train_vid_loop_chunked(tmp_path):
     ts = loops.train_vid_dcgan(lambda: it(), cfg, tcfg, chunk=2,
                                steps_limit=4)
     assert int(ts.step) == 4  # 2 chunks of 2 per... epochs x 2 batches
+
+
+def test_train_vid_loop_chunked_flushes_partial(tmp_path):
+    """An epoch tail smaller than `chunk` must still be trained and logged,
+    not dropped (ADVICE round 1)."""
+    pytest.importorskip("cv2")
+    cfg = VidGANConfig(z_input_size=20, z_output_size=16, vid_length=4,
+                       hidden_dim=32, d_filters=16, image_gan=IMG,
+                       first_frame_loss_scalar=1.0)
+    tcfg = TrainConfig(batch_size=4, epochs=1, sample_every=0,
+                       checkpoint_every=0, run_dir=str(tmp_path / "vp"))
+    clips = synthetic_clips(12, length=4, size=32).astype(np.float32)
+    folded = clips.reshape(3, 4 * 4, 32, 32, 3) / 127.5 - 1.0
+
+    def it(_seed=0):
+        yield from folded
+
+    ts = loops.train_vid_dcgan(it, cfg, tcfg, chunk=2)
+    assert int(ts.step) == 3  # 1 full chunk of 2 + flushed partial of 1
+
+
+def test_train_vid_loop_chunk_used_on_mesh(tmp_path):
+    """--chunk must not be silently ignored on a multi-device run (ADVICE
+    round 1): the mesh path goes through train_chunk with batch_axis=1."""
+    pytest.importorskip("cv2")
+    import jax
+    from gifgan_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices("cpu")[:2], data_parallel=2)
+    cfg = VidGANConfig(z_input_size=20, z_output_size=16, vid_length=4,
+                       hidden_dim=32, d_filters=16, image_gan=IMG,
+                       first_frame_loss_scalar=1.0)
+    tcfg = TrainConfig(batch_size=4, epochs=1, sample_every=0,
+                       checkpoint_every=0, run_dir=str(tmp_path / "vm"))
+    clips = synthetic_clips(16, length=4, size=32).astype(np.float32)
+    folded = clips.reshape(4, 4 * 4, 32, 32, 3) / 127.5 - 1.0
+
+    def it(_seed=0):
+        yield from folded
+
+    ts = loops.train_vid_dcgan(it, cfg, tcfg, chunk=2, mesh=mesh)
+    assert int(np.asarray(jax.device_get(ts.step))) == 4
+    # metrics were logged at chunk granularity (steps 2 and 4)
+    import json
+    lines = [json.loads(l) for l in
+             open(tmp_path / "vm" / "train_metrics.jsonl")]
+    assert [l["step"] for l in lines] == [2, 4]
+
+
+def test_resume_does_not_replay_rng_stream(tmp_path):
+    """A resumed run must continue with fresh z/noise draws, not replay the
+    stream already consumed before the checkpoint (ADVICE round 1)."""
+    import json
+    tcfg = TrainConfig(batch_size=16, epochs=4, sample_every=0,
+                       checkpoint_every=1, run_dir=str(tmp_path / "rr"),
+                       seed=7)
+    loops.train_dcgan(stills_iter(), IMG, tcfg, steps_limit=1)
+    # segment 2 resumes from step 1 and runs step 2
+    loops.train_dcgan(stills_iter(), IMG, tcfg, steps_limit=2)
+    lines = [json.loads(l) for l in
+             open(tmp_path / "rr" / "train_metrics.jsonl")]
+    by_step = {}
+    for l in lines:
+        by_step.setdefault(l["step"], []).append(l)
+    # fresh-run comparison: same seed, 2 steps without interruption
+    tcfg2 = TrainConfig(batch_size=16, epochs=4, sample_every=0,
+                        checkpoint_every=0, run_dir=str(tmp_path / "rr2"),
+                        seed=7)
+    loops.train_dcgan(stills_iter(), IMG, tcfg2, steps_limit=2)
+    lines2 = [json.loads(l) for l in
+              open(tmp_path / "rr2" / "train_metrics.jsonl")]
+    step2_fresh = [l for l in lines2 if l["step"] == 2][0]
+    step2_resumed = by_step[2][0]
+    # the resumed step-2 must NOT equal a replayed step (which would happen
+    # if the rng stream restarted); it differs from the uninterrupted run's
+    # step-2 because the key stream was re-seeded by fold_in(step)
+    assert step2_resumed["g_loss"] != step2_fresh["g_loss"]
