@@ -143,8 +143,10 @@ class Scraper:
 
     def scrape(self, keywords: List[str]) -> ScrapeStats:
         for keyword in keywords:
-            kw_dir = os.path.join(self.out_dir,
-                                  keyword.replace(" ", "_") or "unknown")
+            # slug-sanitize: a keyword containing '/' or '..' must not escape
+            # out_dir (and must stay inside scan_existing's dedup walk)
+            slug = re.sub(r"[^A-Za-z0-9_-]", "_", keyword.replace(" ", "_"))
+            kw_dir = os.path.join(self.out_dir, slug.strip("_") or "unknown")
             os.makedirs(kw_dir, exist_ok=True)
             threads = [
                 threading.Thread(target=self._worker, args=(t, keyword, kw_dir))

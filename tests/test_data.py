@@ -157,3 +157,27 @@ def test_scraper_failure_cutoff(tmp_path):
                        items_per_thread=10000, max_consecutive_failures=3)
     stats = s.scrape(["x"])
     assert stats.errors == 3 and stats.new_total == 0
+
+
+def test_scraper_hostile_keyword_stays_inside_out_dir(tmp_path):
+    """Keywords containing path separators must not create directories
+    outside out_dir (ADVICE round 1)."""
+    payload = ('{"data":[{"images":{"original":{'
+               '"mp4":"https:\\/\\/media.giphy.com\\/media\\/zzz9\\/giphy.mp4"}}}]}')
+
+    def fetch(url):
+        return payload.encode() if "search" in url else b"MP4"
+
+    out = tmp_path / "out"
+    out.mkdir()
+    s = scrape.Scraper(str(out), fetch, num_threads=1, items_per_thread=10)
+    s.scrape(["../escape", "a/b", "  "])
+    entries = set()
+    for root, dirs, files in os.walk(tmp_path):
+        for d in dirs:
+            entries.add(os.path.relpath(os.path.join(root, d), tmp_path))
+    assert not (tmp_path / "escape").exists()
+    assert all(e == "out" or e.startswith("out" + os.sep) for e in entries)
+    # everything landed under sanitized slugs inside out/
+    assert (out / "__escape").exists() or (out / "escape").exists() or \
+        any(p.name.endswith("escape") for p in out.iterdir())
