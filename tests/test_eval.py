@@ -86,3 +86,32 @@ def test_survey_export_and_stride_control(tmp_path):
     vids = stride_control_videos(grids, tile=16, frames_per_video=4,
                                  num_videos=5)
     assert vids.shape == (5, 4, 16, 16, 3)
+
+
+def test_metric_parity_on_reference_published_samples():
+    """Our face-track-rate evaluator, with the reference's eval params, must
+    reproduce the reference's own published tracker stats on its MTurk
+    sample GIFs (full 250-set: ours 202 vs published 201). This pins a
+    25-GIF subset (measured 19/25) within a small drift band."""
+    import os
+
+    ref_dir = "/root/reference/firebase/public/mturk/rnn_samples"
+    cascade = ("/root/reference/demo/classifier_configs/"
+               "haarcascade_frontalface_alt2.xml")
+    if not os.path.isdir(ref_dir) or not os.path.exists(cascade):
+        pytest.skip("reference sample set unavailable")
+    from gifgan_tpu.core.config import TrackConfig
+    from gifgan_tpu.data.video import read_gif
+    from gifgan_tpu.eval import face_track_rate
+    from gifgan_tpu.track.detect import default_detector
+
+    cfg = TrackConfig(min_frame_count=6, min_total_detections=3, max_skip=2,
+                      target_size=64, scale_factor=1.1, min_neighbors=4,
+                      max_corners=1000, corner_quality=0.01,
+                      corner_min_distance=8.0, lk_window=19, lk_levels=2)
+    det = default_detector(cascade_path=cascade, scale_factor=1.1,
+                           min_neighbors=4, min_size=32, max_size_factor=1.0)
+    clips = [read_gif(os.path.join(ref_dir, f))
+             for f in sorted(os.listdir(ref_dir))[:25] if f.endswith(".gif")]
+    r = face_track_rate(clips, det, cfg)
+    assert 16 <= r["tracked"] <= 23, r
