@@ -139,26 +139,41 @@ def cmd_train_vid(args):
                        activation_noise_std=args.activation_noise,
                        first_frame_loss_scalar=args.first_frame_loss_scalar)
 
-    if args.dataset == "synthetic":
-        from gifgan_tpu.data.synthetic import synthetic_clips
-
-        clips = synthetic_clips(args.dataset_size, length=cfg.vid_length,
-                                size=img_cfg.output_size,
-                                channels=img_cfg.c_dim)
-    else:
-        from gifgan_tpu.data.video import decode_clip_batch
+    if args.dataset != "synthetic" and args.stream:
+        # worker-pool streaming decode: the corpus never needs to fit in
+        # memory; N threads decode ahead of the train step (SURVEY.md §7.3)
+        from gifgan_tpu.data.loader import clip_batches_from_files
 
         files = sorted(os.path.join(args.dataset, f)
                        for f in os.listdir(args.dataset)
-                       if f.endswith((".mp4", ".avi")))
-        clips = decode_clip_batch(files, cfg.vid_length,
-                                  img_cfg.output_size, strict=False)
-    clips = clips.astype(np.float32) / 127.5 - 1.0
+                       if f.endswith((".mp4", ".avi", ".gif")))
 
-    def clips_iter():
-        for batch in batches_from_array(clips, args.batch_size, shuffle=True,
-                                        seed=args.seed):
-            yield batch.reshape(-1, *batch.shape[2:])
+        def clips_iter(epoch_seed=args.seed):
+            yield from clip_batches_from_files(
+                files, args.batch_size, cfg.vid_length,
+                img_cfg.output_size, shuffle=True, seed=epoch_seed,
+                workers=args.data_workers)
+    else:
+        if args.dataset == "synthetic":
+            from gifgan_tpu.data.synthetic import synthetic_clips
+
+            clips = synthetic_clips(args.dataset_size, length=cfg.vid_length,
+                                    size=img_cfg.output_size,
+                                    channels=img_cfg.c_dim)
+        else:
+            from gifgan_tpu.data.video import decode_clip_batch
+
+            files = sorted(os.path.join(args.dataset, f)
+                           for f in os.listdir(args.dataset)
+                           if f.endswith((".mp4", ".avi")))
+            clips = decode_clip_batch(files, cfg.vid_length,
+                                      img_cfg.output_size, strict=False)
+        clips = clips.astype(np.float32) / 127.5 - 1.0
+
+        def clips_iter(epoch_seed=args.seed):
+            for batch in batches_from_array(clips, args.batch_size,
+                                            shuffle=True, seed=epoch_seed):
+                yield batch.reshape(-1, *batch.shape[2:])
 
     loops.train_vid_dcgan(clips_iter, cfg, _train_cfg(args),
                           image_gan_ckpt=args.image_gan_checkpoint,
@@ -244,7 +259,8 @@ def cmd_track(args):
     cfg = TrackConfig(min_jaccard=args.min_jaccard, max_skip=args.max_skip,
                       min_frame_count=args.min_frame_count,
                       min_total_detections=args.min_total_detections,
-                      target_size=args.target_size)
+                      target_size=args.target_size,
+                      flow_backend=args.flow_backend)
     stats = run_directory(args.input_directory, args.output_directory, cfg,
                           cascade_path=args.cascade,
                           max_consecutive_errors=args.max_consecutive_errors)
@@ -581,6 +597,11 @@ def main(argv=None):
     p.add_argument("--image-gan-checkpoint", default=None)
     p.add_argument("--chunk", type=int, default=1,
                    help="batches per XLA program (lax.scan; ~2x at scale)")
+    p.add_argument("--stream", action="store_true",
+                   help="stream-decode clips from --dataset dir via the "
+                        "worker pool instead of loading all in memory")
+    p.add_argument("--data-workers", type=int, default=4,
+                   help="decode worker threads for --stream")
     p.add_argument("--train-img-gen", action="store_true")
     p.add_argument("--train-img-disc", action="store_true")
     p.set_defaults(fn=cmd_train_vid)
@@ -621,6 +642,10 @@ def main(argv=None):
     p.add_argument("--max-consecutive-errors", type=int, default=10)
     p.add_argument("--cascade", default=None,
                    help="path to an OpenCV Haar cascade XML")
+    p.add_argument("--flow-backend", default="auto",
+                   choices=["auto", "cv2", "mxu", "jax"],
+                   help="stabilizer corner+LK backend (mxu = gather-free "
+                        "device kernels, kernels/flow.py)")
     p.set_defaults(fn=cmd_track)
 
     p = sub.add_parser("combine-stats", help="merge sharded track stats")

@@ -133,6 +133,9 @@ class TrackConfig:
     corner_min_distance: float = 8.0
     lk_window: int = 15
     lk_levels: int = 3
+    # "auto" = cv2 when present else mxu; "cv2" | "mxu" (gather-free device
+    # kernels, kernels/flow.py) | "jax" (track/flow_jax.py)
+    flow_backend: str = "auto"
 
 
 def _to_jsonable(obj: Any) -> Any:

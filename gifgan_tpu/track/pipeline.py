@@ -21,6 +21,7 @@ import dataclasses
 import os
 import time
 import traceback
+import threading
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -103,15 +104,25 @@ def process_video(frames: np.ndarray, detector: Callable,
     gray = (np.dot(frames[..., :3].astype(np.float32),
                    [0.299, 0.587, 0.114]).astype(np.uint8)
             if frames.shape[-1] == 3 else frames[..., 0])
-    if _HAVE_CV2:
-        flow_backend = lambda a, b: S.cv2_flow_backend(
+    choice = getattr(cfg, "flow_backend", "auto")
+    if choice == "mxu" or (choice == "auto" and not _HAVE_CV2):
+        # gather-free device kernels (kernels/flow.py): one-hot-matmul
+        # window sampling, one dispatch per pair, per-bucket compiles
+        from gifgan_tpu.kernels.flow import mxu_flow_backend
+
+        flow_backend = lambda a, b: mxu_flow_backend(
             a, b, cfg.max_corners, cfg.corner_quality,
             cfg.corner_min_distance, win_size=cfg.lk_window,
             max_level=cfg.lk_levels)
-    else:  # pure-JAX Shi-Tomasi + pyramidal LK (track/flow_jax.py)
+    elif choice == "jax":  # pure-JAX gather formulation (track/flow_jax.py)
         from gifgan_tpu.track.flow_jax import jax_flow_backend
 
         flow_backend = lambda a, b: jax_flow_backend(
+            a, b, cfg.max_corners, cfg.corner_quality,
+            cfg.corner_min_distance, win_size=cfg.lk_window,
+            max_level=cfg.lk_levels)
+    else:
+        flow_backend = lambda a, b: S.cv2_flow_backend(
             a, b, cfg.max_corners, cfg.corner_quality,
             cfg.corner_min_distance, win_size=cfg.lk_window,
             max_level=cfg.lk_levels)
@@ -135,9 +146,17 @@ def run_directory(input_dir: str, output_dir: str, cfg: TrackConfig,
                   decode_fn: Callable = None,
                   max_consecutive_errors: int = 10,
                   dashboard_every_s: float = 15.0,
-                  resume: bool = True) -> TrackStats:
+                  resume: bool = True,
+                  workers: int = 1) -> TrackStats:
     """Process every video in a directory with error isolation, dashboard
-    refresh, params persistence, and idempotent resume."""
+    refresh, params persistence, and idempotent resume.
+
+    workers > 1 runs files concurrently on a thread pool (decode and the
+    native Haar evaluator release the GIL in their C++ loops); per-file
+    stats are accumulated locally and merged under a lock, so the combined
+    output equals a sequential run up to file ordering — the in-process
+    version of the reference's shard-by-hand + stat_combination.py scale-out
+    story (SURVEY.md §2.2)."""
     from gifgan_tpu.track.detect import default_detector
 
     os.makedirs(output_dir, exist_ok=True)
@@ -165,39 +184,77 @@ def run_directory(input_dir: str, output_dir: str, cfg: TrackConfig,
     files = sorted(f for f in os.listdir(input_dir)
                    if f.endswith((".mp4", ".avi", ".gif")))
     stats.total_files = len(files)
-    consecutive_errors = 0
-    last_dash = 0.0
 
+    todo = []
     for name in files:
         base = os.path.splitext(name)[0]
         if resume and any(f.startswith(base + "_crop")
                           for f in os.listdir(output_dir)):
             stats.cnt_files_processed += 1
-            continue
+        else:
+            todo.append(name)
+
+    def process_one(name):
+        """Decode + track + write one file with a local stats object.
+        Returns (local_stats, ok, seconds)."""
+        local = TrackStats()
+        base = os.path.splitext(name)[0]
         t0 = time.time()
         try:
             frames = decode_fn(os.path.join(input_dir, name))
             if frames is None:
                 raise RuntimeError("decode failed")
-            clips = process_video(frames, detector, cfg, stats)
+            clips = process_video(frames, detector, cfg, local)
             from gifgan_tpu.data.video import encode_mp4
 
             for i, clip in enumerate(clips):
                 encode_mp4(os.path.join(output_dir,
                                         f"{base}_crop_{i}.mp4"), clip)
-            stats.cnt_files_processed += 1
-            consecutive_errors = 0
+            local.cnt_files_processed += 1
+            return local, True, time.time() - t0
         except Exception:
-            stats.cnt_files_errored += 1
-            consecutive_errors += 1
+            local.cnt_files_errored += 1
             traceback.print_exc()
+            return local, False, time.time() - t0
+
+    lock = threading.Lock()
+    consecutive_errors = 0
+    last_dash = 0.0
+    abort = False
+
+    def consume(result):
+        nonlocal consecutive_errors, last_dash, abort
+        local, ok, seconds = result
+        with lock:
+            stats.update(local)
+            stats.observe_file_time(seconds)
+            consecutive_errors = 0 if ok else consecutive_errors + 1
             if consecutive_errors >= max_consecutive_errors:
                 print(f"aborting: {consecutive_errors} consecutive errors")
+                abort = True
+            if time.time() - last_dash > dashboard_every_s:
+                stats.write(output_dir, params)
+                last_dash = time.time()
+
+    if workers <= 1:
+        for name in todo:
+            consume(process_one(name))
+            if abort:
                 break
-        stats.observe_file_time(time.time() - t0)
-        if time.time() - last_dash > dashboard_every_s:
-            stats.write(output_dir, params)
-            last_dash = time.time()
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            pending = []
+            it = iter(todo)
+            for name in it:
+                pending.append(pool.submit(process_one, name))
+                if len(pending) >= 2 * workers:
+                    consume(pending.pop(0).result())
+                    if abort:
+                        break
+            while pending and not abort:
+                consume(pending.pop(0).result())
 
     stats.write(output_dir, params)
     return stats
