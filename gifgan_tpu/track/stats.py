@@ -139,16 +139,21 @@ class TrackStats:
         s.total_files = d.get("total_files", 0)
         return s
 
+    def update(self, other: "TrackStats") -> None:
+        """In-place counter addition + histogram union — the per-worker
+        stats accumulation path (pipeline.run_directory workers>1)."""
+        for k, v in other.counters.items():
+            self.counters[k] = self.counters.get(k, 0) + v
+        for name, hist in other.histograms.items():
+            self.histograms.setdefault(name, {})
+            for k, v in hist.items():
+                _inc(self.histograms[name], k, v)
+        self.total_files += other.total_files
+
     def merge(self, other: "TrackStats") -> "TrackStats":
         """Counter addition + histogram union (stat_combination.py:16-65)."""
         out = TrackStats.from_dict(self.to_dict())
-        for k, v in other.counters.items():
-            out.counters[k] = out.counters.get(k, 0) + v
-        for name, hist in other.histograms.items():
-            out.histograms.setdefault(name, {})
-            for k, v in hist.items():
-                _inc(out.histograms[name], k, v)
-        out.total_files += other.total_files
+        out.update(other)
         return out
 
     # rendering --------------------------------------------------------------

@@ -102,3 +102,27 @@ def test_cli_sample_frames_and_stats(tmp_path, capsys):
           "--out-dir", str(tmp_path / "combined")])
     out = capsys.readouterr().out
     assert "cnt_total_detections: 7" in out
+
+
+def test_train_vid_stream_from_gif_dir(tmp_path):
+    """CLI: --stream decodes clips from disk through the worker pool."""
+    pytest.importorskip("cv2")
+    from gifgan_tpu.data import native_gif
+    from gifgan_tpu.data.synthetic import synthetic_clip
+
+    if not native_gif.available():
+        pytest.skip("native codec not built")
+    data_dir = tmp_path / "gifs"
+    data_dir.mkdir()
+    for i in range(8):
+        native_gif.encode_gif(str(data_dir / f"c{i}.gif"),
+                              synthetic_clip(i, length=4, size=32))
+    run_dir = tmp_path / "run"
+    _run([
+        "train-vid", "--dataset", str(data_dir), "--stream",
+        "--data-workers", "2", "--run-dir", str(run_dir),
+        "--batch-size", "4", "--vid-length", "4", "--output-size", "32",
+        "--z-dim", "16", "--vid-z-dim", "20", "--gf-dim", "8", "--df-dim",
+        "8", "--steps-limit", "2", "--sample-every", "0",
+        "--checkpoint-every", "0", "--epochs", "2", "--data-parallel", "1"])
+    assert (run_dir / "train_metrics.jsonl").exists()

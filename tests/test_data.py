@@ -181,3 +181,45 @@ def test_scraper_hostile_keyword_stays_inside_out_dir(tmp_path):
     # everything landed under sanitized slugs inside out/
     assert (out / "__escape").exists() or (out / "escape").exists() or \
         any(p.name.endswith("escape") for p in out.iterdir())
+
+
+def test_clip_batches_from_files_worker_pool(tmp_path):
+    """Worker-pool decode: correct shapes/normalization, failed decodes
+    skipped with backfill, deterministic under a fixed seed."""
+    from gifgan_tpu.data import native_gif
+    from gifgan_tpu.data.loader import clip_batches_from_files
+    from gifgan_tpu.data.synthetic import synthetic_clip
+
+    if not native_gif.available():
+        pytest.skip("native codec not built")
+    paths = []
+    for i in range(9):
+        p = str(tmp_path / f"c{i}.gif")
+        native_gif.encode_gif(p, synthetic_clip(i, length=6, size=32))
+        paths.append(p)
+    bad = str(tmp_path / "bad.gif")
+    open(bad, "wb").write(b"not a gif")
+    paths.insert(3, bad)
+
+    errs = []
+    batches = list(clip_batches_from_files(
+        paths, batch_size=4, length=6, size=32, workers=3, shuffle=False,
+        seed=0, on_error=lambda p, e: errs.append(p)))
+    assert len(batches) == 2              # 9 good clips -> 2 full batches
+    assert batches[0].shape == (4 * 6, 32, 32, 3)
+    assert batches[0].dtype == np.float32
+    assert batches[0].min() >= -1.0 and batches[0].max() <= 1.0
+    assert errs == [bad]
+
+    # unfolded layout
+    b2 = next(iter(clip_batches_from_files(
+        paths, batch_size=2, length=6, size=32, workers=2, shuffle=False,
+        fold_time=False, normalize=False)))
+    assert b2.shape == (2, 6, 32, 32, 3) and b2.dtype == np.uint8
+
+    # seeded shuffle is reproducible
+    a = [b.sum() for b in clip_batches_from_files(
+        paths, 4, 6, 32, workers=3, shuffle=True, seed=5)]
+    b = [b.sum() for b in clip_batches_from_files(
+        paths, 4, 6, 32, workers=1, shuffle=True, seed=5)]
+    np.testing.assert_allclose(a, b)

@@ -2,6 +2,7 @@
 behavior, stabilization math, end-to-end on synthetic clips with an
 injectable detector."""
 
+import os
 import numpy as np
 import pytest
 
@@ -192,3 +193,51 @@ def test_process_video_end_to_end_with_fake_detector():
     assert clip.shape[0] >= 10
     assert clip.dtype == np.uint8
     assert stats.cnt_final_tracks == 1
+
+
+def _make_square_video(T=30, H=96, W=128):
+    frames = np.zeros((T, H, W, 3), np.uint8)
+    boxes = []
+    for t in range(T):
+        x, y = 20 + t, 30
+        frames[t, y:y + 40, x:x + 40] = 200
+        frames[t, y:y + 40:4, x:x + 40] = 90
+        frames[t, y:y + 40, x:x + 40:5] = 140
+        boxes.append((x, y, 40, 40))
+    return frames, boxes
+
+
+def test_run_directory_parallel_matches_sequential(tmp_path):
+    """workers=3 must produce the same crops and merged stats as the
+    sequential path (in-process version of the reference's shard-by-hand +
+    stat_combination.py scale-out, SURVEY.md §2.2)."""
+    import cv2
+    from gifgan_tpu.track.pipeline import run_directory
+
+    frames, boxes = _make_square_video()
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    from gifgan_tpu.data.video import encode_mp4
+
+    for i in range(5):
+        encode_mp4(str(in_dir / f"v{i}.mp4"), frames)
+
+    def detector(frame, i):
+        if i % 5 == 0:
+            x, y, w, h = boxes[i]
+            return [Detection(x, y, x + w, y + h, i)]
+        return []
+
+    cfg = TrackConfig(min_frame_count=10, min_total_detections=3,
+                      target_size=32, max_corners=50)
+    out_seq = tmp_path / "seq"
+    out_par = tmp_path / "par"
+    s1 = run_directory(str(in_dir), str(out_seq), cfg, detector=detector,
+                       workers=1)
+    s2 = run_directory(str(in_dir), str(out_par), cfg, detector=detector,
+                       workers=3)
+    assert s1.cnt_files_processed == s2.cnt_files_processed == 5
+    assert s1.cnt_final_tracks == s2.cnt_final_tracks == 5
+    seq_files = sorted(f for f in os.listdir(out_seq) if f.endswith(".mp4"))
+    par_files = sorted(f for f in os.listdir(out_par) if f.endswith(".mp4"))
+    assert seq_files == par_files
