@@ -252,6 +252,19 @@ def cmd_sample_wall(args):
     print(f"wrote {n} gifs to {args.out_dir}")
 
 
+def cmd_export_web(args):
+    """Export the image generator as a self-contained browser demo dir
+    (weights.json + golden fixture + draw.html/generator.js — the
+    reference's web/ convnet.js demo, web_export.py)."""
+    from gifgan_tpu.serve.web_export import export_browser_demo
+
+    cfg, params, state = _load_dcgan_from_run(args.checkpoint)
+    out = export_browser_demo(params.generator, state.generator, cfg,
+                              args.out_dir)
+    print(f"browser demo exported to {out}; serve it and open draw.html "
+          "(?selftest=1 runs the pixel-parity check)")
+
+
 def cmd_track(args):
     from gifgan_tpu.core.config import TrackConfig
     from gifgan_tpu.track.pipeline import run_directory
@@ -647,6 +660,12 @@ def main(argv=None):
                    help="stabilizer corner+LK backend (mxu = gather-free "
                         "device kernels, kernels/flow.py)")
     p.set_defaults(fn=cmd_track)
+
+    p = sub.add_parser("export-web", help="export browser draw-your-own-z demo")
+    p.add_argument("--checkpoint", required=True,
+                   help="run_dir/checkpoints of a train-dcgan run")
+    p.add_argument("--out-dir", required=True)
+    p.set_defaults(fn=cmd_export_web)
 
     p = sub.add_parser("combine-stats", help="merge sharded track stats")
     p.add_argument("stats_files", nargs="+")

