@@ -74,6 +74,7 @@ class ExplorerCore:
         self._counter = 0
         self._vid_counter = 0
         self.last_response: Optional[Dict] = None
+        self.video_save_path: Optional[str] = None
 
     # -- inference ----------------------------------------------------------
     def run_inference(self, zs) -> np.ndarray:
@@ -134,6 +135,7 @@ class ExplorerCore:
             "video_paths": list(self.video_paths),
             "directions": textify(self.directions),
             "direction_paths": self.direction_paths,
+            "video_save_path": self.video_save_path,
         }
         self.last_response = {"response": "success", "msg": msg}
         return self.last_response
@@ -232,6 +234,20 @@ class ExplorerCore:
             self._update_direction_imgs(step_size)
         return self._response()
 
+    def reorder_image(self, src: int, dst: int, step_size: float) -> Dict:
+        """Move timeline frame src -> dst (frontend drag/reorder; extension
+        over the reference UI, which only supported click-to-delete)."""
+        n = len(self.video_zs)
+        if not (0 <= src < n and 0 <= dst < n):
+            return self._error(f"reorder out of range: {src}->{dst} of {n}")
+        z = self.video_zs.pop(src)
+        p = self.video_paths.pop(src)
+        self.video_zs.insert(dst, z)
+        self.video_paths.insert(dst, p)
+        if src == n - 1 or dst == n - 1:
+            self._update_direction_imgs(step_size)
+        return self._response()
+
     def delete_image(self, index: int, step_size: float) -> Dict:
         if 0 <= index < len(self.video_zs):
             was_last = index == len(self.video_zs) - 1
@@ -273,6 +289,7 @@ class ExplorerCore:
         path = os.path.join(self.media_dir, f"vid_{self._vid_counter}.mp4")
         self._vid_counter += 1
         encode_mp4(path, u8, fps=frame_rate)
+        self.video_save_path = path
         return path
 
 
@@ -360,6 +377,9 @@ def make_handler(core: ExplorerCore, static_dir: Optional[str] = None):
                     return self._json(core.get_similar(
                         int(q["row"]), int(q["col"]), f(q["step_size"]),
                         f(q["similarity"])))
+                if route == "/reorder_image":
+                    return self._json(core.reorder_image(
+                        int(q["src"]), int(q["dst"]), f(q["step_size"])))
                 if route == "/delete_image":
                     return self._json(core.delete_image(
                         int(q["index"]), f(q["step_size"])))
@@ -371,7 +391,9 @@ def make_handler(core: ExplorerCore, static_dir: Optional[str] = None):
                         q["description"], relative=True))
                 if route == "/save":
                     path = core.save(f(q.get("frame_rate", 8.0)))
-                    return self._json({"response": "success", "path": path})
+                    resp = core._response()
+                    resp["path"] = path
+                    return self._json(resp)
                 if route.startswith("/media/"):
                     return self._file(os.path.join(core.media_dir,
                                                    os.path.basename(route)),

@@ -3,6 +3,7 @@ webcam backend, web export roundtrip."""
 
 import json
 import os
+import urllib.parse
 import urllib.request
 
 import jax
@@ -314,3 +315,63 @@ def test_browser_generator_algorithm_pixel_parity(tmp_path):
     u8 = np.clip(np.round(255.0 * (img + 1.0) / 2.0), 0, 255).astype(int)
     diff = np.abs(u8.ravel() - np.asarray(golden["image_u8"]))
     assert diff.max() <= 1, diff.max()
+
+
+def test_explorer_frontend_interaction_sequence(core, tmp_path):
+    """Drives the exact HTTP sequence the new frontend issues for the
+    add -> reorder -> delete -> save flow (no browser in this image, so the
+    DOM test is the in-page wiring + this API-level drive; every frontend
+    control maps 1:1 onto one of these routes)."""
+    server = serve(core, port=0, background=True)
+    port = server.server_address[1]
+    try:
+        def post(route, **params):
+            data = urllib.parse.urlencode(params).encode()
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{route}", data=data,
+                    timeout=10) as r:
+                return json.loads(r.read())
+
+        # Random Faces button -> selector grid appears
+        r = post("/random_faces")
+        rows = len(r["msg"]["direction_paths"])
+        cols = len(r["msg"]["direction_paths"][0])
+        assert rows * cols > 0
+        # click 3 cells with Add action
+        for c in range(3):
+            r = post("/add_image", row=0, col=c % cols, step_size=0.5)
+        zs0 = r["msg"]["video_zs"]
+        paths0 = list(r["msg"]["video_paths"])
+        assert len(paths0) == 3
+        # drag thumb 0 onto thumb 2 -> reorder
+        r = post("/reorder_image", src=0, dst=2, step_size=0.5)
+        assert r["msg"]["video_paths"] == [paths0[1], paths0[2], paths0[0]]
+        assert r["msg"]["video_zs"] != zs0
+        # reorder out of range -> error JSON, state intact
+        r2 = post("/reorder_image", src=9, dst=0, step_size=0.5)
+        assert r2["response"] == "error"
+        # click a thumbnail -> delete
+        r = post("/delete_image", index=1, step_size=0.5)
+        assert len(r["msg"]["video_paths"]) == 2
+        # step-size slider release
+        r = post("/update_step_size", step_size=0.9)
+        assert r["response"] == "success"
+        # Save button: response carries the refreshed state incl. save path
+        r = post("/save", frame_rate=4)
+        assert r["msg"]["video_save_path"].endswith(".mp4")
+        assert os.path.exists(r["msg"]["video_save_path"])
+        # the static page itself serves at /
+        import gifgan_tpu.serve as S
+        static_dir = os.path.join(os.path.dirname(S.__file__), "static")
+        page = open(os.path.join(static_dir, "index.html")).read()
+        for route in ("random_faces", "perp_faces", "clear_faces",
+                      "init_directions", "clear_directions", "add_image",
+                      "get_similar", "delete_image", "reorder_image",
+                      "update_step_size", "load_video_description",
+                      "load_relative_video_description", "save"):
+            assert route in page, f"frontend missing {route} wiring"
+        for control in ("seek-slider", "step-slider", "sim-slider", "play",
+                        "stop", "fps", "draggable", "ondrop"):
+            assert control in page, f"frontend missing {control}"
+    finally:
+        server.shutdown()
