@@ -195,3 +195,75 @@ def _check_match(op: str, ckpt_dir: str, matched: List[str],
         warnings.warn(
             f"{op}: {len(missing)} target leaves had no checkpoint key "
             f"(kept current values), e.g. {missing[:5]}", stacklevel=3)
+
+
+class AsyncCheckpointer:
+    """Async checkpoint writes: the device->host snapshot happens on the
+    caller's thread (cheap, and REQUIRED before the next donated train step
+    invalidates the buffers), while serialization + npz write + GC run on a
+    background thread so the next chunk's compute overlaps the disk write
+    (orbax-style async save; SURVEY.md §5.4 round-2 upgrade).
+
+    Errors surface on the next save() or wait(). One in-flight write at a
+    time — a second save blocks until the previous write lands, bounding
+    memory at one host snapshot.
+    """
+
+    def __init__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=1)
+        self._pending = None
+
+    def save(self, ckpt_dir: str, step: int, tree: Any,
+             max_to_keep: int = 0):
+        self.wait()
+        # snapshot: device arrays come back as fresh host buffers; numpy
+        # leaves pass through device_get by reference and MUST be copied or
+        # later in-place mutation corrupts the pending write
+        host_tree = jax.tree_util.tree_map(
+            lambda x: np.array(x) if isinstance(x, np.ndarray)
+            else jax.device_get(x), tree)
+
+        def _write():
+            return save(ckpt_dir, step, host_tree, max_to_keep=max_to_keep)
+
+        self._pending = self._pool.submit(_write)
+        return self._pending
+
+    def wait(self):
+        if self._pending is not None:
+            fut, self._pending = self._pending, None
+            fut.result()  # re-raises write errors
+
+    def close(self):
+        self.wait()
+        self._pool.shutdown(wait=True)
+
+
+def save_multihost(ckpt_dir: str, step: int, tree: Any, max_to_keep: int = 0,
+                   process_index: Optional[int] = None,
+                   barrier=None) -> Optional[str]:
+    """Replicated-state save on a multi-host pod: the primary process writes
+    (state is replicated, so one copy suffices — shared-filesystem layout),
+    every process joins a named barrier before AND after so no process races
+    ahead into a restore of a half-written step.
+
+    process_index/barrier are injectable for tests; defaults use the live
+    jax.distributed runtime (multihost_utils.sync_global_devices).
+    """
+    if process_index is None:
+        process_index = jax.process_index()
+    if barrier is None:
+        if jax.process_count() == 1:
+            barrier = lambda name: None
+        else:
+            from jax.experimental import multihost_utils
+
+            barrier = lambda name: multihost_utils.sync_global_devices(name)
+    barrier(f"ckpt_pre_{step}")
+    path = None
+    if process_index == 0:
+        path = save(ckpt_dir, step, tree, max_to_keep=max_to_keep)
+    barrier(f"ckpt_post_{step}")
+    return path

@@ -109,6 +109,7 @@ def train_dcgan(images_iter: Callable[[], Iterator[np.ndarray]],
 
     sample_z = uniform_z(rngs.next(), (64, cfg.z_dim))
     log = MetricsLogger(run_dir)
+    saver = ckpt.AsyncCheckpointer()  # disk write overlaps the next steps
     step = int(jax.device_get(ts.step))
     start_step = step
     for epoch in range(tcfg.epochs):
@@ -127,14 +128,15 @@ def train_dcgan(images_iter: Callable[[], Iterator[np.ndarray]],
                            os.path.join(run_dir,
                                         f"train_{epoch:02d}_{step:06d}.png"))
             if tcfg.checkpoint_every and step % tcfg.checkpoint_every == 0:
-                ckpt.save(ckpt_dir, step, jax.device_get(ts)._asdict(),
-                          max_to_keep=tcfg.max_checkpoints_to_keep)
+                saver.save(ckpt_dir, step, ts._asdict(),
+                           max_to_keep=tcfg.max_checkpoints_to_keep)
             if steps_limit and step >= steps_limit:
                 break
         if steps_limit and step >= steps_limit:
             break
-    ckpt.save(ckpt_dir, step, jax.device_get(ts)._asdict(),
-              max_to_keep=tcfg.max_checkpoints_to_keep)
+    saver.save(ckpt_dir, step, ts._asdict(),
+               max_to_keep=tcfg.max_checkpoints_to_keep)
+    saver.close()
     log.close()
     return ts
 
@@ -194,6 +196,7 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
                              cfg.z_input_size, cfg.z_output_size,
                              np_rng).astype(np.float32)
     log = MetricsLogger(run_dir)
+    saver = ckpt.AsyncCheckpointer()
     step = int(jax.device_get(ts.step))
     start_step = step
 
@@ -240,16 +243,17 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
                     _write_video_grid(vids, 8, os.path.join(
                         run_dir, f"{name}_{epoch:02d}_{step:06d}.mp4"))
             if tcfg.checkpoint_every and step % tcfg.checkpoint_every == 0:
-                ckpt.save(ckpt_dir, step, jax.device_get(ts)._asdict(),
-                          max_to_keep=tcfg.max_checkpoints_to_keep)
+                saver.save(ckpt_dir, step, ts._asdict(),
+                           max_to_keep=tcfg.max_checkpoints_to_keep)
             if steps_limit and step >= steps_limit:
                 break
         if chunk_fn is not None:
             flush_pending()  # epoch-tail partial chunk
         if steps_limit and step >= steps_limit:
             break
-    ckpt.save(ckpt_dir, step, jax.device_get(ts)._asdict(),
-              max_to_keep=tcfg.max_checkpoints_to_keep)
+    saver.save(ckpt_dir, step, ts._asdict(),
+               max_to_keep=tcfg.max_checkpoints_to_keep)
+    saver.close()
     log.close()
     return ts
 
@@ -301,6 +305,7 @@ def train_recurrent(clips_iter: Callable[[], Iterator[np.ndarray]],
         rngs = _resume_rngs(tcfg.seed, int(ts.step))
 
     log = MetricsLogger(run_dir)
+    saver = ckpt.AsyncCheckpointer()
     step = int(jax.device_get(ts.step))
     start_step = step
     for epoch in range(tcfg.epochs):
@@ -319,13 +324,14 @@ def train_recurrent(clips_iter: Callable[[], Iterator[np.ndarray]],
                                   os.path.join(run_dir,
                                                f"pred_{step:06d}.mp4"))
             if tcfg.checkpoint_every and step % tcfg.checkpoint_every == 0:
-                ckpt.save(ckpt_dir, step, jax.device_get(ts)._asdict(),
-                          max_to_keep=tcfg.max_checkpoints_to_keep)
+                saver.save(ckpt_dir, step, ts._asdict(),
+                           max_to_keep=tcfg.max_checkpoints_to_keep)
             if steps_limit and step >= steps_limit:
                 break
         if steps_limit and step >= steps_limit:
             break
-    ckpt.save(ckpt_dir, step, jax.device_get(ts)._asdict(),
-              max_to_keep=tcfg.max_checkpoints_to_keep)
+    saver.save(ckpt_dir, step, ts._asdict(),
+               max_to_keep=tcfg.max_checkpoints_to_keep)
+    saver.close()
     log.close()
     return ts
