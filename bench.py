@@ -37,8 +37,8 @@ def _flagship(dtype="bfloat16"):
     return cfg, tcfg
 
 
-def run_bench(steps: int = 12, warmup: int = 2, batch_size: int = None,
-              chunk: int = 10, dtype: str = "bfloat16"):
+def run_bench(steps: int = 6, warmup: int = 2, batch_size: int = None,
+              chunk: int = 20, dtype: str = "bfloat16"):
     import jax
     import jax.numpy as jnp
 

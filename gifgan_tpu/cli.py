@@ -191,7 +191,8 @@ def cmd_train_recurrent(args):
         seq_length=args.vid_length, base_filters=args.gf_dim,
         lstm_units=args.lstm_units, num_lstm_layers=args.lstm_layers,
         lstm_dropout=args.lstm_dropout,
-        share_disc_conv=args.share_disc_conv)
+        share_disc_conv=args.share_disc_conv,
+        pixel_loss_scalar=args.pixel_loss_scalar)
 
     if args.dataset == "synthetic":
         from gifgan_tpu.data.synthetic import synthetic_clips
@@ -250,6 +251,30 @@ def cmd_sample_wall(args):
                  num_batches=None if args.continuous else args.num_batches,
                  continuous=args.continuous, fps=args.fps, seed=args.seed)
     print(f"wrote {n} gifs to {args.out_dir}")
+
+
+def cmd_visualize(args):
+    """Per-dimension z-sweep grids (the reference's utils.visualize modes
+    0-4, utils.py:149-202)."""
+    import jax
+
+    from gifgan_tpu.eval.visualize import visualize
+    from gifgan_tpu.train import gan
+
+    cfg, params, state = _load_dcgan_from_run(args.checkpoint)
+
+    def sample_fn(z):
+        from gifgan_tpu.models import dcgan
+
+        out, _ = jax.jit(dcgan.generator,
+                         static_argnames=("cfg", "train"))(
+            params.generator, state.generator, jax.numpy.asarray(z), cfg,
+            False)
+        return out
+
+    paths = visualize(sample_fn, cfg.z_dim, args.batch_size, args.option,
+                      args.out_dir, num_dims=args.num_dims, seed=args.seed)
+    print(f"wrote {len(paths)} files to {args.out_dir}")
 
 
 def cmd_export_web(args):
@@ -630,6 +655,9 @@ def main(argv=None):
     p.add_argument("--lstm-layers", type=int, default=1)
     p.add_argument("--lstm-dropout", type=float, default=0.0)
     p.add_argument("--share-disc-conv", action="store_true")
+    p.add_argument("--pixel-loss-scalar", type=float, default=0.0,
+                   help="L1 next-frame term added to the adversarial G loss "
+                        "(deviation from the reference; 0 = reference loss)")
     p.add_argument("--no-resume", action="store_true")
     p.set_defaults(fn=cmd_train_recurrent)
 
@@ -660,6 +688,15 @@ def main(argv=None):
                    help="stabilizer corner+LK backend (mxu = gather-free "
                         "device kernels, kernels/flow.py)")
     p.set_defaults(fn=cmd_track)
+
+    p = sub.add_parser("visualize", help="z-sweep sample grids (5 modes)")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--option", type=int, default=1, choices=[0, 1, 2, 3, 4])
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--num-dims", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_visualize)
 
     p = sub.add_parser("export-web", help="export browser draw-your-own-z demo")
     p.add_argument("--checkpoint", required=True,

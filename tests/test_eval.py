@@ -115,3 +115,30 @@ def test_metric_parity_on_reference_published_samples():
              for f in sorted(os.listdir(ref_dir))[:25] if f.endswith(".gif")]
     r = face_track_rate(clips, det, cfg)
     assert 16 <= r["tracked"] <= 23, r
+
+
+def test_visualize_all_modes(tmp_path):
+    """All 5 reference visualize modes (utils.py:149-202) produce files of
+    the right kind and count."""
+    from gifgan_tpu.eval.visualize import visualize
+
+    def fake_sampler(z):
+        z = np.asarray(z)
+        v = np.tanh(z.sum(axis=1))[:, None, None, None]
+        return np.tile(v, (1, 16, 16, 3)).astype(np.float32)
+
+    out = visualize(fake_sampler, z_dim=10, batch_size=8, option=0,
+                    out_dir=str(tmp_path / "o0"))
+    assert len(out) == 1 and out[0].endswith(".png")
+    out = visualize(fake_sampler, 10, 8, 1, str(tmp_path / "o1"), num_dims=4)
+    assert len(out) == 4 and all(p.endswith(".png") for p in out)
+    out = visualize(fake_sampler, 10, 8, 2, str(tmp_path / "o2"), num_dims=3)
+    assert len(out) == 3 and all(p.endswith(".gif") for p in out)
+    out = visualize(fake_sampler, 10, 8, 3, str(tmp_path / "o3"), num_dims=3)
+    assert len(out) == 3 and all(p.endswith(".gif") for p in out)
+    out = visualize(fake_sampler, 10, 8, 4, str(tmp_path / "o4"), num_dims=4)
+    assert out[-1].endswith("test_gif_merged.gif")
+    assert len(out) == 5
+    from gifgan_tpu.data.video import read_gif
+    merged = read_gif(out[-1])
+    assert merged.shape[0] == 16  # 8 forward + 8 backward bounce
