@@ -61,3 +61,304 @@ def inspect(ckpt_dir: str, step: Optional[int] = None) -> str:
         lines.append(f"{k}  {v.shape}  {v.dtype}")
     lines.append(f"total parameters: {total:,}")
     return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Raw TensorFlow checkpoint reader — NO TensorFlow dependency.
+#
+# The reference trains with tf.train.Saver (model.py:428-452) and even ships
+# a V2->V1 downgrade tool (utils/downgrade_tf_checkpoint.py). To import its
+# artifacts, this parses the two on-disk formats directly:
+#   * V2 "bundle": {prefix}.index is a leveldb-format table whose "" key is
+#     a BundleHeaderProto and whose other keys are tensor names mapping to
+#     BundleEntryProto (dtype/shape/shard/offset/size); raw bytes live in
+#     {prefix}.data-NNNNN-of-MMMMM.
+#   * V1 "TensorSlice": {prefix} itself is one leveldb table whose values
+#     are SavedTensorSlices protos with the tensor data embedded as
+#     TensorProto (tensor_content or packed typed fields).
+# Only the wire-format subset these files use is implemented (varint +
+# length-delimited + fixed32/64; prefix-compressed table blocks; no
+# compression — tf's tensor_bundle writes kNoCompression).
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+
+_TF_MAGIC = 0xdb4775248b80fb57
+_TF_DTYPES = {
+    1: np.float32, 2: np.float64, 3: np.int32, 4: np.uint8, 5: np.int16,
+    6: np.int8, 9: np.int64, 10: np.bool_, 17: np.uint16, 19: np.float16,
+    22: np.uint32, 23: np.uint64,
+}
+
+
+def _varint(buf, pos):
+    result = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _proto_fields(buf):
+    """Yield (field_number, wire_type, value) over a serialized message.
+    wire 0 -> varint int, 2 -> bytes, 5 -> fixed32, 1 -> fixed64."""
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            val, pos = _varint(buf, pos)
+        elif wire == 2:
+            n, pos = _varint(buf, pos)
+            val = buf[pos:pos + n]
+            pos += n
+        elif wire == 5:
+            val = _struct.unpack("<I", buf[pos:pos + 4])[0]
+            pos += 4
+        elif wire == 1:
+            val = _struct.unpack("<Q", buf[pos:pos + 8])[0]
+            pos += 8
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, val
+
+
+def _parse_shape(buf):
+    """TensorShapeProto: field 2 repeated Dim{field 1 size varint}."""
+    dims = []
+    for f, _, v in _proto_fields(buf):
+        if f == 2:
+            size = 1
+            for f2, _, v2 in _proto_fields(v):
+                if f2 == 1:
+                    size = v2
+            dims.append(size)
+    return tuple(dims)
+
+
+def _read_block(data, offset, size):
+    """One table block: prefix-compressed entries + restart array; the
+    1-byte compression type + 4-byte crc trailer follow `size`."""
+    comp = data[offset + size]
+    if comp != 0:
+        raise ValueError(
+            f"compressed table block (type {comp}) — tf bundles are "
+            "written uncompressed; snappy blocks unsupported")
+    block = data[offset:offset + size]
+    n_restarts = _struct.unpack("<I", block[-4:])[0]
+    end = len(block) - 4 - 4 * n_restarts
+    pos = 0
+    key = b""
+    out = []
+    while pos < end:
+        shared, pos = _varint(block, pos)
+        non_shared, pos = _varint(block, pos)
+        vlen, pos = _varint(block, pos)
+        key = key[:shared] + block[pos:pos + non_shared]
+        pos += non_shared
+        out.append((key, block[pos:pos + vlen]))
+        pos += vlen
+    return out
+
+
+def _read_table(path):
+    """All (key, value) pairs of a leveldb-format table file."""
+    data = open(path, "rb").read()
+    magic = _struct.unpack("<Q", data[-8:])[0]
+    if magic != _TF_MAGIC:
+        raise ValueError(f"{path}: not a tensorflow table (magic {magic:#x})")
+    footer = data[-48:-8]
+    pos = 0
+    _, pos = _varint(footer, pos)      # metaindex offset
+    _, pos = _varint(footer, pos)      # metaindex size
+    idx_off, pos = _varint(footer, pos)
+    idx_size, pos = _varint(footer, pos)
+    entries = []
+    for _, handle in _read_block(data, idx_off, idx_size):
+        h = 0
+        off, h = _varint(handle, h)
+        size, h = _varint(handle, h)
+        entries.extend(_read_block(data, off, size))
+    return entries
+
+
+def _tensorproto_to_array(buf):
+    """TensorProto subset: dtype=1, tensor_shape=2, tensor_content=4,
+    packed/typed value fields 5-11."""
+    dtype_enum, shape, content = 1, None, None
+    typed = {5: [], 6: [], 7: [], 10: [], 11: []}
+    for f, wire, v in _proto_fields(buf):
+        if f == 1:
+            dtype_enum = v
+        elif f == 2:
+            shape = _parse_shape(v)
+        elif f == 4:
+            content = v
+        elif f in typed and wire == 2:  # packed
+            typed[f].append(("packed", v))
+        elif f in typed:
+            typed[f].append(("one", v))
+    np_dtype = _TF_DTYPES.get(dtype_enum)
+    if np_dtype is None:
+        raise ValueError(f"unsupported TF dtype enum {dtype_enum}")
+    if content is not None:
+        arr = np.frombuffer(content, np_dtype).copy()
+        return arr.reshape(shape) if shape is not None else arr
+    vals = []
+    for f, entries2 in typed.items():
+        for kind, v in entries2:
+            if kind == "one":
+                if f == 5:    # float stored as fixed32 varint? no: wire 5
+                    vals.append(_struct.unpack("<f", _struct.pack("<I", v))[0])
+                else:
+                    vals.append(v)
+            else:
+                if f == 5:
+                    vals.extend(np.frombuffer(v, np.float32).tolist())
+                elif f == 6:
+                    vals.extend(np.frombuffer(v, np.float64).tolist())
+                else:
+                    pos = 0
+                    while pos < len(v):
+                        x, pos = _varint(v, pos)
+                        vals.append(x)
+    arr = np.asarray(vals, np_dtype)
+    return arr.reshape(shape) if shape is not None else arr
+
+
+def read_tf_checkpoint(prefix: str) -> Dict[str, np.ndarray]:
+    """{variable_name: array} from a TF checkpoint, V2 bundle or V1
+    TensorSlice, without TensorFlow. Slices ('part N of M' variables) are
+    not reassembled — the reference never shards variables."""
+    if os.path.exists(prefix + ".index"):
+        return _read_tf_v2(prefix)
+    if os.path.exists(prefix):
+        return _read_tf_v1(prefix)
+    raise FileNotFoundError(f"no TF checkpoint at {prefix}(.index)")
+
+
+def _read_tf_v2(prefix: str) -> Dict[str, np.ndarray]:
+    import glob as _glob
+
+    entries = _read_table(prefix + ".index")
+    shards = sorted(_glob.glob(prefix + ".data-*-of-*"))
+    shard_bytes = [open(p, "rb").read() for p in shards]
+    out = {}
+    for key, value in entries:
+        if key == b"":
+            continue  # BundleHeaderProto
+        dtype_enum, shape, shard, offset, size = 1, (), 0, 0, None
+        for f, wire, v in _proto_fields(value):
+            if f == 1:
+                dtype_enum = v
+            elif f == 2:
+                shape = _parse_shape(v)
+            elif f == 3:
+                shard = v
+            elif f == 4:
+                offset = v
+            elif f == 5:
+                size = v
+        np_dtype = _TF_DTYPES.get(dtype_enum)
+        if np_dtype is None:
+            raise ValueError(f"{key!r}: unsupported TF dtype {dtype_enum}")
+        raw = shard_bytes[shard][offset:offset + size]
+        out[key.decode()] = np.frombuffer(raw, np_dtype).reshape(shape).copy()
+    return out
+
+
+def _read_tf_v1(prefix: str) -> Dict[str, np.ndarray]:
+    out = {}
+    shapes = {}
+    entries = _read_table(prefix)
+    for key, value in entries:
+        if key != b"":
+            continue
+        # "" -> SavedTensorSlices{meta=1: SavedTensorSliceMeta{
+        #        tensor=1 repeated: SavedSliceMeta{name=1, shape=2}}}
+        for f, _, v in _proto_fields(value):
+            if f != 1:
+                continue
+            for f2, _, v2 in _proto_fields(v):
+                if f2 != 1:
+                    continue
+                name, shape = None, ()
+                for f3, _, v3 in _proto_fields(v2):
+                    if f3 == 1:
+                        name = v3.decode()
+                    elif f3 == 2:
+                        shape = _parse_shape(v3)
+                if name is not None:
+                    shapes[name] = shape
+    for key, value in entries:
+        if key == b"":
+            continue
+        # SavedTensorSlices: field 2 = SavedSlice{name=1, slice=2, data=3}
+        for f, _, v in _proto_fields(value):
+            if f != 2:
+                continue
+            name, tensor = None, None
+            for f2, _, v2 in _proto_fields(v):
+                if f2 == 1:
+                    name = v2.decode()
+                elif f2 == 3:
+                    tensor = _tensorproto_to_array(v2)
+            if name is not None and tensor is not None:
+                # slice TensorProtos omit tensor_shape; use the meta's
+                out[name] = tensor.reshape(shapes.get(name, tensor.shape))
+    return out
+
+
+def import_reference_dcgan(prefix: str, cfg, scope: str = ""):
+    """Map a reference-trained DCGAN TF checkpoint onto our pytrees.
+
+    Name mapping (reference model.py:296-324 generator, :268-279
+    discriminator; ops.py linear 'Matrix'/'bias', conv/deconv 'w'/'biases',
+    contrib batch_norm 'gamma/beta/moving_mean/moving_variance'):
+      g_h0_lin/Matrix -> generator.h0_lin.w         (layouts kept 1:1,
+      g_h{i}/w        -> generator.h{i}_deconv.w     ops/nn.py docstrings)
+      g_bn{i}/*       -> generator.bn{i} params/state
+      d_h{i}_conv/w   -> discriminator.h{i}_conv.w
+      d_h3_lin/Matrix -> discriminator.h3_lin.w
+    scope: optional enclosing TF scope to strip (the reference nests the
+    image GAN under 'image_gan/' in VID_DCGAN, z_model_lib.py:117-134).
+    Returns (DCGANParams, DCGANState).
+    """
+    import jax.numpy as jnp
+
+    from gifgan_tpu.models.dcgan import DCGANParams, DCGANState
+
+    flat = read_tf_checkpoint(prefix)
+    if scope:
+        pre = scope.rstrip("/") + "/"
+        flat = {k[len(pre):]: v for k, v in flat.items() if k.startswith(pre)}
+
+    def a(name):
+        if name not in flat:
+            raise KeyError(f"reference checkpoint missing variable {name}; "
+                           f"has e.g. {sorted(flat)[:5]}")
+        return jnp.asarray(flat[name])
+
+    def bn(prefix_):
+        return ({"scale": a(f"{prefix_}/gamma"), "bias": a(f"{prefix_}/beta")},
+                {"mean": a(f"{prefix_}/moving_mean"),
+                 "var": a(f"{prefix_}/moving_variance")})
+
+    gp = {"h0_lin": {"w": a("g_h0_lin/Matrix"), "b": a("g_h0_lin/bias")}}
+    gs = {}
+    for i in range(4):
+        gp[f"bn{i}"], gs[f"bn{i}"] = bn(f"g_bn{i}")
+    for i in range(1, 5):
+        gp[f"h{i}_deconv"] = {"w": a(f"g_h{i}/w"), "b": a(f"g_h{i}/biases")}
+    dp = {"h3_lin": {"w": a("d_h3_lin/Matrix"), "b": a("d_h3_lin/bias")}}
+    ds = {}
+    for i in range(4):
+        dp[f"h{i}_conv"] = {"w": a(f"d_h{i}_conv/w"),
+                            "b": a(f"d_h{i}_conv/biases")}
+    for i in range(1, 4):
+        dp[f"bn{i}"], ds[f"bn{i}"] = bn(f"d_bn{i}")
+    return (DCGANParams(generator=gp, discriminator=dp),
+            DCGANState(generator=gs, discriminator=ds))

@@ -60,3 +60,49 @@ def test_metrics_logger(tmp_path):
     assert lines[0]["d_loss"] == 0.5 and lines[0]["step"] == 1
     assert lines[0]["note"] == "x"
     assert "steps_per_sec" in lines[1]
+
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures", "tf_ref_dcgan")
+
+
+def test_read_tf_checkpoint_v2_genuine_fixture():
+    """The no-TF bundle reader must decode a GENUINE tf.train.Saver V2
+    checkpoint (committed fixture, written by TensorFlow 2.21) bit-exactly."""
+    from gifgan_tpu.core.ckpt_tools import read_tf_checkpoint
+
+    got = read_tf_checkpoint(os.path.join(FIXDIR, "ref.ckpt"))
+    expected = np.load(os.path.join(FIXDIR, "expected.npz"))
+    assert set(got) == set(expected.files)
+    for name in expected.files:
+        np.testing.assert_array_equal(got[name], expected[name])
+
+
+def test_import_reference_dcgan_runs_forward():
+    """Reference-name mapping onto our pytrees: imported weights drive a
+    working generator+discriminator forward pass with the exact values."""
+    import jax
+    import jax.numpy as jnp
+
+    from gifgan_tpu.core.ckpt_tools import import_reference_dcgan
+    from gifgan_tpu.core.config import DCGANConfig
+    from gifgan_tpu.models import dcgan
+
+    cfg = DCGANConfig(output_size=32, c_dim=3, z_dim=16, gf_dim=8, df_dim=8)
+    params, state = import_reference_dcgan(os.path.join(FIXDIR, "ref.ckpt"),
+                                           cfg)
+    expected = np.load(os.path.join(FIXDIR, "expected.npz"))
+    np.testing.assert_array_equal(np.asarray(params.generator["h0_lin"]["w"]),
+                                  expected["g_h0_lin/Matrix"])
+    np.testing.assert_array_equal(
+        np.asarray(state.discriminator["bn2"]["var"]),
+        expected["d_bn2/moving_variance"])
+    z = jax.random.uniform(jax.random.PRNGKey(0), (4, 16),
+                           minval=-1.0, maxval=1.0)
+    img, _ = dcgan.generator(params.generator, state.generator, z, cfg,
+                             train=False)
+    assert img.shape == (4, 32, 32, 3)
+    assert np.isfinite(np.asarray(img)).all()
+    logits, h2, _ = dcgan.discriminator(params.discriminator,
+                                        state.discriminator, img, cfg,
+                                        train=False)
+    assert logits.shape == (4, 1) and np.isfinite(np.asarray(logits)).all()
