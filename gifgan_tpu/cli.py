@@ -192,7 +192,8 @@ def cmd_train_recurrent(args):
         lstm_units=args.lstm_units, num_lstm_layers=args.lstm_layers,
         lstm_dropout=args.lstm_dropout,
         share_disc_conv=args.share_disc_conv,
-        pixel_loss_scalar=args.pixel_loss_scalar)
+        pixel_loss_scalar=args.pixel_loss_scalar,
+        residual_prediction=args.residual_prediction)
 
     if args.dataset == "synthetic":
         from gifgan_tpu.data.synthetic import synthetic_clips
@@ -251,6 +252,18 @@ def cmd_sample_wall(args):
                  num_batches=None if args.continuous else args.num_batches,
                  continuous=args.continuous, fps=args.fps, seed=args.seed)
     print(f"wrote {n} gifs to {args.out_dir}")
+
+
+def cmd_make_paths(args):
+    """Generate the named expression-path library (the reference's
+    demo/manual_paths/*.txt artifact, produced procedurally)."""
+    from gifgan_tpu.demo import make_expression_paths, write_paths
+
+    paths = make_expression_paths(args.z_dim, frames=args.frames,
+                                  magnitude=args.magnitude, seed=args.seed)
+    write_paths(args.out_dir, paths)
+    print(f"wrote {len(paths)} expression paths to {args.out_dir}: "
+          f"{', '.join(sorted(paths))}")
 
 
 def cmd_visualize(args):
@@ -658,6 +671,8 @@ def main(argv=None):
     p.add_argument("--pixel-loss-scalar", type=float, default=0.0,
                    help="L1 next-frame term added to the adversarial G loss "
                         "(deviation from the reference; 0 = reference loss)")
+    p.add_argument("--residual-prediction", action="store_true",
+                   help="predict the frame delta (deviation; see config)")
     p.add_argument("--no-resume", action="store_true")
     p.set_defaults(fn=cmd_train_recurrent)
 
@@ -688,6 +703,14 @@ def main(argv=None):
                    help="stabilizer corner+LK backend (mxu = gather-free "
                         "device kernels, kernels/flow.py)")
     p.set_defaults(fn=cmd_track)
+
+    p = sub.add_parser("make-paths", help="generate expression-path library")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--z-dim", type=int, default=100)
+    p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--magnitude", type=float, default=0.8)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_make_paths)
 
     p = sub.add_parser("visualize", help="z-sweep sample grids (5 modes)")
     p.add_argument("--checkpoint", required=True)

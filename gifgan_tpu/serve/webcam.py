@@ -250,3 +250,110 @@ def animate_via_service(url: str, face_u8: np.ndarray,
         for name, p in (result.get("paths") or {}).items():
             shutil.copy(p, out_dir)
     return result
+
+
+def capture_face_live(detector, camera_index: int = 0, target_size: int = 64,
+                      expand_factor: float = 1.0, cv2_mod=None,
+                      window: str = "gifgan webcam", max_frames: int = 100000):
+    """Live camera capture with the reference client's interaction loop
+    (webcam_client.py:36-127): draw the largest detected face box on each
+    frame, ENTER accepts the current detection, q/ESC aborts. Returns
+    (face_u8, box) or (None, None).
+
+    cv2_mod is injectable so the loop is testable headless (tests drive a
+    fake camera + scripted keys); the real path uses cv2.VideoCapture."""
+    if cv2_mod is None:
+        import cv2 as cv2_mod  # pragma: no cover - needs a camera
+    cap = cv2_mod.VideoCapture(camera_index)
+    if not cap.isOpened():
+        raise RuntimeError(f"camera {camera_index} unavailable")
+
+    pending = {"frame": None, "accept": False, "quit": False}
+
+    def frames():
+        i = 0
+        while i < max_frames and not pending["quit"]:
+            ok, bgr = cap.read()
+            if not ok:
+                return
+            frame = bgr[..., ::-1].copy()  # BGR -> RGB
+            dets = detector(frame, i)
+            shown = bgr.copy()
+            if dets:
+                d = max(dets, key=lambda d: d.width * d.height)
+                cv2_mod.rectangle(shown, (d.x1, d.y1), (d.x2, d.y2),
+                                  (0, 255, 0), 2)
+            cv2_mod.imshow(window, shown)
+            key = cv2_mod.waitKey(30) & 0xFF
+            if key in (13, 10):          # Enter: accept this frame
+                yield frame, True
+            elif key in (27, ord("q")):  # abort
+                pending["quit"] = True
+                yield frame, False
+            else:
+                yield frame, False
+            i += 1
+
+    try:
+        face, box = capture_face(frames(), detector,
+                                 expand_factor=expand_factor,
+                                 target_size=target_size)
+    finally:
+        cap.release()
+        try:
+            cv2_mod.destroyWindow(window)
+        except Exception:
+            pass
+    return face, box
+
+
+def result_carousel(result_paths, cv2_mod=None,
+                    window: str = "gifgan results", max_events: int = 100000):
+    """Keyboard carousel over inversion results (webcam_client.py:129-205):
+    left/right (a/d or arrow codes) cycle items, q/ESC exits. Images show
+    statically; videos loop frame-by-frame while the item is selected.
+    Returns the list of items actually displayed (for tests)."""
+    if cv2_mod is None:
+        import cv2 as cv2_mod  # pragma: no cover - needs a display
+    items = list(result_paths)
+    if not items:
+        return []
+    shown = []
+    idx = 0
+    events = 0
+    while events < max_events:
+        path = items[idx]
+        if path not in shown:
+            shown.append(path)
+        if path.endswith((".png", ".jpg", ".jpeg")):
+            img = cv2_mod.imread(path)
+            if img is not None:
+                cv2_mod.imshow(window, img)
+            key = cv2_mod.waitKey(50) & 0xFF
+            events += 1
+        else:  # video: loop one frame per key poll
+            cap = cv2_mod.VideoCapture(path)
+            key = None
+            while events < max_events:
+                ok, frame = cap.read()
+                if not ok:
+                    cap.release()
+                    cap = cv2_mod.VideoCapture(path)  # loop
+                    continue
+                cv2_mod.imshow(window, frame)
+                key = cv2_mod.waitKey(40) & 0xFF
+                events += 1
+                if key != 255:
+                    break
+            cap.release()
+        if key in (27, ord("q")):
+            break
+        if key in (ord("d"), 83):
+            idx = (idx + 1) % len(items)
+        elif key in (ord("a"), 81):
+            idx = (idx - 1) % len(items)
+    try:
+        cv2_mod.destroyWindow(window)
+    except Exception:
+        pass
+    return shown

@@ -375,3 +375,97 @@ def test_explorer_frontend_interaction_sequence(core, tmp_path):
             assert control in page, f"frontend missing {control}"
     finally:
         server.shutdown()
+
+
+def test_expression_path_library_roundtrip(tmp_path):
+    """8 named paths in the reference manual_paths .txt protocol; start at
+    zero (delta semantics), load back through load_latent_paths, and drive
+    apply_latent_path on a toy generator."""
+    from gifgan_tpu.demo import make_expression_paths, write_paths
+    from gifgan_tpu.serve.webcam import load_latent_paths
+
+    paths = make_expression_paths(z_dim=16, frames=8, seed=3)
+    assert set(paths) >= {"smile", "frown", "surprise", "surprise2",
+                          "shake_head", "glasses"}
+    assert len(paths) == 8
+    for name, p in paths.items():
+        assert p.shape == (8, 16)
+        np.testing.assert_allclose(p[0], 0.0)
+        assert np.abs(p).max() > 0.1, name
+    write_paths(str(tmp_path), paths)
+    back = load_latent_paths(str(tmp_path), z_dim=16)
+    assert set(back) == set(paths)
+    for name in paths:
+        np.testing.assert_allclose(back[name], paths[name], atol=1e-5)
+
+
+class _FakeCv2:
+    """Scriptable cv2 stand-in for the live capture/carousel loops."""
+
+    def __init__(self, frames, keys):
+        self._frames = list(frames)
+        self._keys = list(keys)
+        self.shown = []
+
+    class _Cap:
+        def __init__(self, frames):
+            self.frames = list(frames)
+
+        def isOpened(self):
+            return True
+
+        def read(self):
+            if not self.frames:
+                return False, None
+            return True, self.frames.pop(0)
+
+        def release(self):
+            pass
+
+    def VideoCapture(self, _src):
+        return self._Cap(self._frames)
+
+    def rectangle(self, img, *a, **k):
+        return img
+
+    def imshow(self, window, img):
+        self.shown.append(np.asarray(img).shape)
+
+    def imread(self, path):
+        return np.zeros((8, 8, 3), np.uint8)
+
+    def waitKey(self, _ms):
+        return self._keys.pop(0) if self._keys else 255
+
+    def destroyWindow(self, _w):
+        pass
+
+
+def test_capture_face_live_with_fake_camera():
+    from gifgan_tpu.serve.webcam import capture_face_live
+    from gifgan_tpu.track.boxes import Detection
+
+    frame = np.zeros((64, 96, 3), np.uint8)
+    frame[20:52, 30:62] = 180
+    fake = _FakeCv2([frame[..., ::-1].copy()] * 6, [255, 255, 13])  # Enter on 3rd
+
+    def detector(f, i):
+        return [Detection(30, 20, 61, 51, i)]
+
+    face, box = capture_face_live(detector, cv2_mod=fake, target_size=32)
+    assert face is not None and face.shape == (32, 32, 3)
+    assert len(fake.shown) >= 3  # live preview frames displayed
+
+
+def test_result_carousel_cycles_and_exits(tmp_path):
+    import imageio.v2 as imageio
+
+    from gifgan_tpu.serve.webcam import result_carousel
+
+    a = str(tmp_path / "a.png")
+    b = str(tmp_path / "b.png")
+    imageio.imwrite(a, np.zeros((8, 8, 3), np.uint8))
+    imageio.imwrite(b, np.zeros((8, 8, 3), np.uint8))
+    fake = _FakeCv2([], [ord("d"), ord("d"), ord("q")])  # next, next(wrap), quit
+    shown = result_carousel([a, b], cv2_mod=fake)
+    assert shown == [a, b]
