@@ -70,6 +70,18 @@ class RecurrentImageConfig:
     num_lstm_layers: int = 1       # multi-layer variant: >1 (multi-layer_recurrent_DCGAN.py)
     lstm_dropout: float = 0.0      # shared-conv+dropout variant used 0.2 drop (keep 0.8)
     share_disc_conv: bool = False  # G encoder reuses D conv filters (shared_conv variant)
+    # DEVIATION from the reference's pure-adversarial loss
+    # (recurrent_DCGAN.py:294-298): optional L1 next-frame pixel term. At 0
+    # (default) the objective is the reference's; >0 makes the predictions
+    # beat the copy-last-frame baseline at practical budgets (round-1 finding:
+    # the pure GAN loss does not, docs/E2E_RESULTS.md).
+    pixel_loss_scalar: float = 0.0
+    # DEVIATION: predict the next-frame DELTA (pred = frame + decoded delta)
+    # instead of the frame. Off by default (reference architecture); with
+    # pixel_loss_scalar > 0 this beats the copy-last-frame baseline at small
+    # budgets because "zero delta" IS the copy baseline and any learned
+    # motion improves on it.
+    residual_prediction: bool = False
     compute_dtype: str = "float32"
 
 

@@ -242,7 +242,14 @@ def generator(params, frames: Array, cfg: RecurrentImageConfig,
     states = _run_lstm(params, enc_tbf, cfg, dropout_rng)    # (T, B, units)
     states_bt = states.swapaxes(0, 1).reshape(b * t, -1)
     out = _decode(params, states_bt, cfg, dtype, t)
-    return out.reshape(b, t, cfg.image_size, cfg.image_size, cfg.c_dim)
+    out = out.reshape(b, t, cfg.image_size, cfg.image_size, cfg.c_dim)
+    if getattr(cfg, "residual_prediction", False):
+        # predict the frame DELTA instead of the frame: pred = x + d, d in
+        # [-1, 1] (decoder output re-centered). Standard video-prediction
+        # technique; deviation from the reference architecture (see
+        # RecurrentImageConfig.residual_prediction).
+        out = jnp.clip(frames + (2.0 * out - 1.0), 0.0, 1.0)
+    return out
 
 
 def rollout(params, first_frame: Array, length: int,

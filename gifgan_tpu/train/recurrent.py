@@ -78,13 +78,18 @@ def train_step(ts: RecurrentTrainState, clips: Array, rng,
             fake = ri.generator(pg, x, cfg, d_params=ts.params_d,
                                 dropout_rng=k if cfg.lstm_dropout else None)
             logits_fake = ri.discriminator(ts.params_d, fake, cfg)
-            return nn.sigmoid_ce(logits_fake, jnp.ones_like(logits_fake))
+            adv = nn.sigmoid_ce(logits_fake, jnp.ones_like(logits_fake))
+            pix = jnp.mean(jnp.abs(fake - y))
+            return adv + cfg.pixel_loss_scalar * pix, (adv, pix)
 
-        g_loss, grads = jax.value_and_grad(g_loss_fn)(ts.params_g)
+        (g_loss, (adv, pix)), grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(ts.params_g)
         updates, opt_g = opt.update(grads, ts.opt_g, ts.params_g)
         ts = ts._replace(params_g=optax.apply_updates(ts.params_g, updates),
                          opt_g=opt_g)
         metrics["g_loss"] = g_loss
+        metrics["g_loss_adv"] = adv
+        metrics["pixel_mae"] = pix
 
     return ts._replace(step=ts.step + 1), metrics
 

@@ -121,3 +121,35 @@ def test_train_step_runs(key):
     assert not np.allclose(pg_before, pg_after)
     pred = rtrain.predict(ts, clips, CFG)
     assert pred.shape == (2, 4, 32, 32, 1)
+
+
+def test_pixel_loss_and_residual_modes():
+    """pixel_loss_scalar adds a next-frame L1 term (metrics expose it);
+    residual_prediction starts the model AT the copy-last baseline (delta
+    ~0 at init) — both documented deviations from the reference loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from gifgan_tpu.core.config import RecurrentImageConfig, TrainConfig
+    from gifgan_tpu.data.synthetic import synthetic_clips
+    from gifgan_tpu.models import recurrent_image as ri
+    from gifgan_tpu.train import recurrent as rt
+
+    cfg = RecurrentImageConfig(image_size=32, c_dim=3, seq_length=4,
+                               base_filters=8, lstm_units=32,
+                               pixel_loss_scalar=10.0,
+                               residual_prediction=True)
+    tcfg = TrainConfig(batch_size=4, gen_updates=1)
+    clips = jnp.asarray(
+        synthetic_clips(4, length=5, size=32).astype(np.float32) / 255.0)
+    ts = rt.init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+
+    # at init the residual decoder contributes ~0.5-centered noise only:
+    # predictions sit near the input frames (the copy-last baseline)
+    preds = ri.generator(ts.params_g, clips[:, :-1], cfg)
+    base_mae = float(jnp.abs(preds - clips[:, :-1]).mean())
+    assert base_mae < 0.2, base_mae
+
+    ts, m = rt.train_step(ts, clips, jax.random.PRNGKey(1), cfg, tcfg)
+    assert "pixel_mae" in m and np.isfinite(float(m["pixel_mae"]))
+    assert float(m["g_loss"]) > float(m["g_loss_adv"])  # pixel term active
