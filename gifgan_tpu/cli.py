@@ -193,7 +193,8 @@ def cmd_train_recurrent(args):
         lstm_dropout=args.lstm_dropout,
         share_disc_conv=args.share_disc_conv,
         pixel_loss_scalar=args.pixel_loss_scalar,
-        residual_prediction=args.residual_prediction)
+        residual_prediction=args.residual_prediction,
+        adversarial_after_steps=args.adversarial_after_steps)
 
     if args.dataset == "synthetic":
         from gifgan_tpu.data.synthetic import synthetic_clips
@@ -673,6 +674,8 @@ def main(argv=None):
                         "(deviation from the reference; 0 = reference loss)")
     p.add_argument("--residual-prediction", action="store_true",
                    help="predict the frame delta (deviation; see config)")
+    p.add_argument("--adversarial-after-steps", type=int, default=0,
+                   help="pixel-only G warm-up until this step (deviation)")
     p.add_argument("--no-resume", action="store_true")
     p.set_defaults(fn=cmd_train_recurrent)
 

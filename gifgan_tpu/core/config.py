@@ -82,6 +82,10 @@ class RecurrentImageConfig:
     # budgets because "zero delta" IS the copy baseline and any learned
     # motion improves on it.
     residual_prediction: bool = False
+    # DEVIATION: curriculum — G's adversarial term is zero-weighted until
+    # this step (pixel-only warm-up; D still trains throughout so it is
+    # ready when the joint phase starts). 0 = adversarial from step 0.
+    adversarial_after_steps: int = 0
     compute_dtype: str = "float32"
 
 

@@ -80,7 +80,9 @@ def train_step(ts: RecurrentTrainState, clips: Array, rng,
             logits_fake = ri.discriminator(ts.params_d, fake, cfg)
             adv = nn.sigmoid_ce(logits_fake, jnp.ones_like(logits_fake))
             pix = jnp.mean(jnp.abs(fake - y))
-            return adv + cfg.pixel_loss_scalar * pix, (adv, pix)
+            adv_w = jnp.where(ts.step >= cfg.adversarial_after_steps,
+                              1.0, 0.0) if cfg.adversarial_after_steps else 1.0
+            return adv_w * adv + cfg.pixel_loss_scalar * pix, (adv, pix)
 
         (g_loss, (adv, pix)), grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(ts.params_g)
