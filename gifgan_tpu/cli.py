@@ -122,7 +122,8 @@ def cmd_train_dcgan(args):
 
     cfg = _dcgan_cfg(args)
     loops.train_dcgan(_stills_source(args, cfg), cfg, _train_cfg(args),
-                      mesh=_mesh_arg(args), steps_limit=args.steps_limit)
+                      mesh=_mesh_arg(args), steps_limit=args.steps_limit,
+                      chunk=args.chunk)
 
 
 def cmd_train_vid(args):
@@ -630,6 +631,8 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("train-dcgan", help="train the image DCGAN")
+    p.add_argument("--chunk", type=int, default=1,
+                   help="batches per XLA program (lax.scan)")
     _add_dcgan_args(p)
     _add_train_args(p)
     p.add_argument("--dataset", default="synthetic",

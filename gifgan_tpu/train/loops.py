@@ -80,9 +80,13 @@ def cross_sample_z(rows: int, cols: int, z_in: int, z_out: int,
 def train_dcgan(images_iter: Callable[[], Iterator[np.ndarray]],
                 cfg: DCGANConfig, tcfg: TrainConfig,
                 mesh=None, resume: bool = True,
-                steps_limit: Optional[int] = None):
+                steps_limit: Optional[int] = None,
+                chunk: int = 1):
     """images_iter: () -> iterator of (B, s, s, c) float [-1,1] batches (one
-    pass = one epoch). Returns the final TrainState."""
+    pass = one epoch). Returns the final TrainState.
+
+    chunk>1 runs K batches as one XLA program (gan.train_chunk) — same
+    dispatch amortization as the vid loop (train/vid.py measurements)."""
     from gifgan_tpu.parallel.dp import (make_sharded_step, shard_batch_arrays,
                                         shard_train_state)
     from gifgan_tpu.train import gan
@@ -104,24 +108,50 @@ def train_dcgan(images_iter: Callable[[], Iterator[np.ndarray]],
         ts = shard_train_state(mesh, ts)
         step_fn = make_sharded_step(gan.train_step, mesh,
                                     static_args={"cfg": cfg, "tcfg": tcfg})
+        chunk_fn = make_sharded_step(gan.train_chunk, mesh,
+                                     static_args={"cfg": cfg, "tcfg": tcfg},
+                                     batch_axis=1) if chunk > 1 else None
     else:
         step_fn = lambda *a: gan.train_step(*a, cfg, tcfg)
+        chunk_fn = ((lambda *a: gan.train_chunk(*a, cfg, tcfg))
+                    if chunk > 1 else None)
 
     sample_z = uniform_z(rngs.next(), (64, cfg.z_dim))
     log = MetricsLogger(run_dir)
     saver = ckpt.AsyncCheckpointer()  # disk write overlaps the next steps
     step = int(jax.device_get(ts.step))
     start_step = step
+    pending_images, pending_z = [], []
+
+    def flush_pending():
+        nonlocal ts, step
+        if not pending_images:
+            return
+        k = len(pending_images)
+        istack, zstack = np.stack(pending_images), np.stack(pending_z)
+        pending_images.clear()
+        pending_z.clear()
+        ts, metrics = chunk_fn(ts, istack, zstack, rngs.next())
+        step += k
+        log.log(step, {key: v[-1] for key, v in metrics.items()})
+
     for epoch in range(tcfg.epochs):
         for batch in PrefetchLoader(_epoch_iter(images_iter,
                                                 tcfg.seed + start_step + epoch)):
             batch = np.asarray(batch)
-            if mesh is not None:
-                batch = shard_batch_arrays(mesh, batch)
             z = uniform_z(rngs.next(), (batch.shape[0], cfg.z_dim))
-            ts, metrics = step_fn(ts, batch, z, rngs.next())
-            step += 1
-            log.log(step, metrics)
+            if chunk_fn is not None:
+                pending_images.append(batch)
+                pending_z.append(np.asarray(z))
+                if len(pending_images) < chunk:
+                    continue
+                flush_pending()
+            else:
+                if mesh is not None:
+                    batch = shard_batch_arrays(mesh, batch)
+                ts, metrics = step_fn(ts, batch, z, rngs.next())
+                step += 1
+                log.log(step, metrics)
             if tcfg.sample_every and step % tcfg.sample_every == 0:
                 samples = gan.sample_step(ts, sample_z, cfg)
                 _save_grid(np.asarray(samples), 8, 8,
@@ -132,6 +162,8 @@ def train_dcgan(images_iter: Callable[[], Iterator[np.ndarray]],
                            max_to_keep=tcfg.max_checkpoints_to_keep)
             if steps_limit and step >= steps_limit:
                 break
+        if chunk_fn is not None:
+            flush_pending()  # epoch-tail partial chunk
         if steps_limit and step >= steps_limit:
             break
     saver.save(ckpt_dir, step, ts._asdict(),

@@ -223,3 +223,27 @@ def test_resume_does_not_replay_rng_stream(tmp_path):
     # if the rng stream restarted); it differs from the uninterrupted run's
     # step-2 because the key stream was re-seeded by fold_in(step)
     assert step2_resumed["g_loss"] != step2_fresh["g_loss"]
+
+
+def test_train_dcgan_chunked_and_mesh_chunk(tmp_path):
+    """Image-GAN chunking: partial-tail flush and mesh path parity with the
+    vid loop's semantics."""
+    import jax
+    from gifgan_tpu.core.mesh import make_mesh
+
+    tcfg = TrainConfig(batch_size=16, epochs=1, sample_every=0,
+                       checkpoint_every=0, run_dir=str(tmp_path / "ic"))
+    data = synthetic_stills(48, size=32).astype(np.float32) / 127.5 - 1.0
+
+    def it(_seed=0):
+        for i in range(3):
+            yield data[i * 16:(i + 1) * 16]
+
+    ts = loops.train_dcgan(it, IMG, tcfg, chunk=2)
+    assert int(np.asarray(jax.device_get(ts.step))) == 3  # 2 + flushed 1
+
+    mesh = make_mesh(jax.devices("cpu")[:2], data_parallel=2)
+    tcfg2 = TrainConfig(batch_size=16, epochs=1, sample_every=0,
+                        checkpoint_every=0, run_dir=str(tmp_path / "im"))
+    ts2 = loops.train_dcgan(it, IMG, tcfg2, chunk=2, mesh=mesh)
+    assert int(np.asarray(jax.device_get(ts2.step))) == 3
