@@ -113,8 +113,10 @@ def _stills_source(args, cfg):
                     method="linear"))
             imgs.append(im)
         data = np.stack(imgs).astype(np.float32) / 127.5 - 1.0
-    return lambda: batches_from_array(data, args.batch_size,
-                                      shuffle=True, seed=args.seed)
+    # accepts the per-epoch/per-resume seed from loops._epoch_iter so
+    # shuffles differ across epochs and resume segments
+    return lambda epoch_seed=args.seed: batches_from_array(
+        data, args.batch_size, shuffle=True, seed=epoch_seed)
 
 
 def cmd_train_dcgan(args):

@@ -138,7 +138,8 @@ def restore(ckpt_dir: str, target: Any, step: Optional[int] = None,
     # A no-op restore must be loud: the reference's tf.train.Saver raises on
     # missing variables; silently keeping fresh random params means "training
     # proceeds with a random model while printing success" (ADVICE round 1).
-    _check_match("restore", ckpt_dir, matched, missing, flat_ckpt)
+    _check_match("restore", ckpt_dir, matched, missing, flat_ckpt,
+                 warn_unconsumed=not exclude and not prefix)
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
@@ -179,9 +180,12 @@ def graft(ckpt_dir: str, target: Any, subpath: str, ckpt_prefix: str = "",
 
 
 def _check_match(op: str, ckpt_dir: str, matched: List[str],
-                 missing: List[str], flat_ckpt: Dict[str, np.ndarray]) -> None:
-    """Raise on a zero-key no-op; warn on partial matches and on checkpoint
-    keys that nothing consumed (likely a layout mismatch)."""
+                 missing: List[str], flat_ckpt: Dict[str, np.ndarray],
+                 warn_unconsumed: bool = False) -> None:
+    """Raise on a zero-key no-op; warn on partial matches and (for plain
+    full restores) on checkpoint keys that nothing consumed — a likely
+    layout mismatch. Grafts/prefix/exclude restores intentionally consume
+    subsets, so unconsumed keys are only flagged when warn_unconsumed."""
     if not matched:
         sample_ckpt = sorted(flat_ckpt)[:5]
         sample_want = missing[:5]
@@ -195,6 +199,15 @@ def _check_match(op: str, ckpt_dir: str, matched: List[str],
         warnings.warn(
             f"{op}: {len(missing)} target leaves had no checkpoint key "
             f"(kept current values), e.g. {missing[:5]}", stacklevel=3)
+    if warn_unconsumed:
+        unconsumed = sorted(set(flat_ckpt) - set(matched))
+        if unconsumed:
+            import warnings
+
+            warnings.warn(
+                f"{op}: {len(unconsumed)} checkpoint keys were not consumed "
+                f"by any target leaf (layout mismatch?), e.g. "
+                f"{unconsumed[:5]}", stacklevel=3)
 
 
 class AsyncCheckpointer:

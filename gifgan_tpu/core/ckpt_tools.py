@@ -207,14 +207,20 @@ def _tensorproto_to_array(buf):
     if content is not None:
         arr = np.frombuffer(content, np_dtype).copy()
         return arr.reshape(shape) if shape is not None else arr
+    def signed(x):
+        # proto int32/int64/bool varints are two's-complement 64-bit
+        return x - (1 << 64) if x >= (1 << 63) else x
+
     vals = []
     for f, entries2 in typed.items():
         for kind, v in entries2:
             if kind == "one":
-                if f == 5:    # float stored as fixed32 varint? no: wire 5
+                if f == 5:    # float_val: wire 5 fixed32
                     vals.append(_struct.unpack("<f", _struct.pack("<I", v))[0])
+                elif f == 6:  # double_val: wire 1 fixed64
+                    vals.append(_struct.unpack("<d", _struct.pack("<Q", v))[0])
                 else:
-                    vals.append(v)
+                    vals.append(signed(v))
             else:
                 if f == 5:
                     vals.extend(np.frombuffer(v, np.float32).tolist())
@@ -224,7 +230,7 @@ def _tensorproto_to_array(buf):
                     pos = 0
                     while pos < len(v):
                         x, pos = _varint(v, pos)
-                        vals.append(x)
+                        vals.append(signed(x))
     arr = np.asarray(vals, np_dtype)
     return arr.reshape(shape) if shape is not None else arr
 
@@ -250,7 +256,7 @@ def _read_tf_v2(prefix: str) -> Dict[str, np.ndarray]:
     for key, value in entries:
         if key == b"":
             continue  # BundleHeaderProto
-        dtype_enum, shape, shard, offset, size = 1, (), 0, 0, None
+        dtype_enum, shape, shard, offset, size = 1, (), 0, 0, 0
         for f, wire, v in _proto_fields(value):
             if f == 1:
                 dtype_enum = v

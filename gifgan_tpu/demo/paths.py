@@ -47,7 +47,7 @@ def _step_hold(t):     # ramp up and stay (glasses on)
 
 
 def _spike(t):         # fast attack, slow decay (wink)
-    return np.exp(-4 * t) * np.sin(np.pi * np.minimum(3 * t, 1.0))
+    return np.exp(-2 * t) * np.sin(np.pi / 2 * np.minimum(3 * t, 1.0))
 
 
 EXPRESSIONS = {

@@ -273,6 +273,9 @@ def rollout(params, first_frame: Array, length: int,
             new_carry.append((c, h))
             x = out
         nxt = _decode(params, x, cfg, dtype)
+        if getattr(cfg, "residual_prediction", False):
+            # same delta semantics as generator(): pred = frame + recentered
+            nxt = jnp.clip(frame + (2.0 * nxt - 1.0), 0.0, 1.0)
         return (tuple(new_carry), nxt), nxt
 
     _, frames = jax.lax.scan(step, (init_carry, first_frame), None,

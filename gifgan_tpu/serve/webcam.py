@@ -269,6 +269,8 @@ def capture_face_live(detector, camera_index: int = 0, target_size: int = 64,
         raise RuntimeError(f"camera {camera_index} unavailable")
 
     pending = {"frame": None, "accept": False, "quit": False}
+    last_dets = {}  # frame index -> detections (avoid re-detecting in
+                    # capture_face; the Haar pass dominates per-frame cost)
 
     def frames():
         i = 0
@@ -278,6 +280,8 @@ def capture_face_live(detector, camera_index: int = 0, target_size: int = 64,
                 return
             frame = bgr[..., ::-1].copy()  # BGR -> RGB
             dets = detector(frame, i)
+            last_dets.clear()
+            last_dets[i] = dets
             shown = bgr.copy()
             if dets:
                 d = max(dets, key=lambda d: d.width * d.height)
@@ -294,8 +298,11 @@ def capture_face_live(detector, camera_index: int = 0, target_size: int = 64,
                 yield frame, False
             i += 1
 
+    def cached_detector(frame, i):
+        return last_dets.get(i, detector(frame, i))
+
     try:
-        face, box = capture_face(frames(), detector,
+        face, box = capture_face(frames(), cached_detector,
                                  expand_factor=expand_factor,
                                  target_size=target_size)
     finally:
@@ -334,12 +341,19 @@ def result_carousel(result_paths, cv2_mod=None,
         else:  # video: loop one frame per key poll
             cap = cv2_mod.VideoCapture(path)
             key = None
+            consecutive_failures = 0
             while events < max_events:
                 ok, frame = cap.read()
                 if not ok:
+                    consecutive_failures += 1
+                    if consecutive_failures >= 2:  # undecodable: skip item
+                        key = cv2_mod.waitKey(40) & 0xFF
+                        events += 1
+                        break
                     cap.release()
                     cap = cv2_mod.VideoCapture(path)  # loop
                     continue
+                consecutive_failures = 0
                 cv2_mod.imshow(window, frame)
                 key = cv2_mod.waitKey(40) & 0xFF
                 events += 1

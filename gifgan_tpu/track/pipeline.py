@@ -255,6 +255,16 @@ def run_directory(input_dir: str, output_dir: str, cfg: TrackConfig,
                         break
             while pending and not abort:
                 consume(pending.pop(0).result())
+            # on abort the in-flight files still finish (the pool shutdown
+            # waits for them and their crops land on disk) — fold their
+            # stats in too so stats agree with output_dir contents
+            aborted = abort
+            for fut in pending:
+                local, ok, seconds = fut.result()
+                with lock:
+                    stats.update(local)
+                    stats.observe_file_time(seconds)
+            abort = aborted
 
     stats.write(output_dir, params)
     return stats

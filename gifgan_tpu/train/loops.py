@@ -53,6 +53,14 @@ def _epoch_iter(factory: Callable, epoch_seed: int) -> Iterator[np.ndarray]:
     return factory()
 
 
+def _crossed(prev_step: int, step: int, every: int) -> bool:
+    """True when [prev_step+1, step] contains a multiple of `every` — chunked
+    loops advance k steps at once and epoch-tail partial flushes shift step
+    off the multiple grid, so `step % every == 0` would silently stop firing
+    (round-2 review finding)."""
+    return bool(every) and (step // every) > (prev_step // every)
+
+
 def _save_grid(samples: np.ndarray, rows: int, cols: int, path: str,
                from_range: str = "[-1,1]") -> None:
     import imageio.v2 as imageio
@@ -140,6 +148,7 @@ def train_dcgan(images_iter: Callable[[], Iterator[np.ndarray]],
                                                 tcfg.seed + start_step + epoch)):
             batch = np.asarray(batch)
             z = uniform_z(rngs.next(), (batch.shape[0], cfg.z_dim))
+            prev_step = step
             if chunk_fn is not None:
                 pending_images.append(batch)
                 pending_z.append(np.asarray(z))
@@ -152,12 +161,12 @@ def train_dcgan(images_iter: Callable[[], Iterator[np.ndarray]],
                 ts, metrics = step_fn(ts, batch, z, rngs.next())
                 step += 1
                 log.log(step, metrics)
-            if tcfg.sample_every and step % tcfg.sample_every == 0:
+            if _crossed(prev_step, step, tcfg.sample_every):
                 samples = gan.sample_step(ts, sample_z, cfg)
                 _save_grid(np.asarray(samples), 8, 8,
                            os.path.join(run_dir,
                                         f"train_{epoch:02d}_{step:06d}.png"))
-            if tcfg.checkpoint_every and step % tcfg.checkpoint_every == 0:
+            if _crossed(prev_step, step, tcfg.checkpoint_every):
                 saver.save(ckpt_dir, step, ts._asdict(),
                            max_to_keep=tcfg.max_checkpoints_to_keep)
             if steps_limit and step >= steps_limit:
@@ -253,6 +262,7 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
             frames = np.asarray(frames)
             b = frames.shape[0] // cfg.vid_length
             z = uniform_z(rngs.next(), (b, cfg.z_input_size))
+            prev_step = step
             if chunk_fn is not None:
                 pending_frames.append(frames)
                 pending_z.append(np.asarray(z))
@@ -265,7 +275,7 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
                 ts, metrics = step_fn(ts, frames, z, rngs.next())
                 step += 1
                 log.log(step, metrics)
-            if tcfg.sample_every and step % tcfg.sample_every == 0:
+            if _crossed(prev_step, step, tcfg.sample_every):
                 for name, zz in (("sample", sample_z),
                                  ("cross_sample", cross_z)):
                     if name == "cross_sample" and cfg.first_frame_loss_scalar <= 0:
@@ -274,7 +284,7 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
                         ts, zz[:tcfg.batch_size], cfg))
                     _write_video_grid(vids, 8, os.path.join(
                         run_dir, f"{name}_{epoch:02d}_{step:06d}.mp4"))
-            if tcfg.checkpoint_every and step % tcfg.checkpoint_every == 0:
+            if _crossed(prev_step, step, tcfg.checkpoint_every):
                 saver.save(ckpt_dir, step, ts._asdict(),
                            max_to_keep=tcfg.max_checkpoints_to_keep)
             if steps_limit and step >= steps_limit:

@@ -106,3 +106,31 @@ def test_import_reference_dcgan_runs_forward():
                                         state.discriminator, img, cfg,
                                         train=False)
     assert logits.shape == (4, 1) and np.isfinite(np.asarray(logits)).all()
+
+
+def test_tensorproto_typed_fields_decode():
+    """V1 TensorProto typed scalars: double_val is fixed64 bits, negative
+    int varints are two's complement (round-2 review finding)."""
+    import struct
+
+    from gifgan_tpu.core.ckpt_tools import _tensorproto_to_array
+
+    # dtype=DT_DOUBLE(2), one double_val (field 6, wire 1) = 1.5
+    buf = bytes([0x08, 0x02])
+    buf += bytes([0x31]) + struct.pack("<d", 1.5)
+    arr = _tensorproto_to_array(buf)
+    np.testing.assert_allclose(arr, [1.5])
+
+    # dtype=DT_INT32(3), one int_val (field 7, wire 0) = -1
+    neg1 = (1 << 64) - 1
+    varint = b""
+    v = neg1
+    while True:
+        b7 = v & 0x7F
+        v >>= 7
+        varint += bytes([b7 | (0x80 if v else 0)])
+        if not v:
+            break
+    buf = bytes([0x08, 0x03, 0x38]) + varint
+    arr = _tensorproto_to_array(buf)
+    assert arr.dtype == np.int32 and arr[0] == -1

@@ -247,3 +247,17 @@ def test_train_dcgan_chunked_and_mesh_chunk(tmp_path):
                         checkpoint_every=0, run_dir=str(tmp_path / "im"))
     ts2 = loops.train_dcgan(it, IMG, tcfg2, chunk=2, mesh=mesh)
     assert int(np.asarray(jax.device_get(ts2.step))) == 3
+
+
+def test_chunked_cadence_fires_after_tail_shift():
+    """Checkpoint/sample cadence must fire when a chunk CROSSES a multiple,
+    even after an epoch-tail partial flush shifts step off the grid
+    (round-2 review finding)."""
+    from gifgan_tpu.train.loops import _crossed
+
+    assert _crossed(499, 500, 500)
+    assert _crossed(495, 505, 500)     # chunk of 10 crossing 500
+    assert not _crossed(500, 505, 500)
+    assert _crossed(130, 150, 150)     # tail-shifted grid
+    assert not _crossed(150, 170, 500)
+    assert not _crossed(0, 10, 0)      # disabled cadence
