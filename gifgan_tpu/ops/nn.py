@@ -101,7 +101,29 @@ def deconv2d_init(key, in_ch: int, out_ch: int, k: int = 5, stddev: float = 0.02
     }
 
 
-def deconv2d(params, x: Array, stride: int = 2, dtype=None) -> Array:
+# Module-level deconv implementation selector. "dilated" is the literal
+# gradient-of-conv form; "subpixel" computes the identical function as a
+# dense stride-1 conv with 4x output channels + depth-to-space, which avoids
+# the 75% zero-MACs of the input-dilated conv on the MXU (same terms, so
+# equal up to accumulation order). Switch with set_deconv_impl().
+_DECONV_IMPL = "dilated"
+
+
+def set_deconv_impl(impl: str) -> str:
+    """Set the module-wide deconv2d implementation ("dilated" | "subpixel").
+
+    Returns the previous value. Takes effect at trace time — jitted callers
+    pick it up on their next (re)trace.
+    """
+    global _DECONV_IMPL
+    assert impl in ("dilated", "subpixel"), impl
+    prev = _DECONV_IMPL
+    _DECONV_IMPL = impl
+    return prev
+
+
+def deconv2d(params, x: Array, stride: int = 2, dtype=None,
+             impl: Optional[str] = None) -> Array:
     """Exact tf.nn.conv2d_transpose(..., padding='SAME') semantics.
 
     TF's conv2d_transpose is the gradient-of-conv2d: its [h,w,out,in] filter
@@ -112,6 +134,8 @@ def deconv2d(params, x: Array, stride: int = 2, dtype=None) -> Array:
     dtype = dtype or x.dtype
     w = params["w"].astype(dtype)
     k = w.shape[0]
+    if (impl or _DECONV_IMPL) == "subpixel" and stride == 2 and k == 5:
+        return _deconv2d_subpixel(params, x, dtype)
     # Gradient-of-conv written explicitly: dilate the input by `stride`,
     # convolve stride-1 with the spatially-flipped kernel (in/out swapped).
     # TF SAME forward conv (n=m*stride -> m) pads total (k - stride), low
@@ -128,6 +152,41 @@ def deconv2d(params, x: Array, stride: int = 2, dtype=None) -> Array:
         lhs_dilation=(stride, stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+    return (y + params["b"]).astype(dtype)
+
+
+def _deconv2d_subpixel(params, x: Array, dtype) -> Array:
+    """Stride-2 k=5 SAME deconv as a dense conv + depth-to-space.
+
+    Derivation (1-D, per axis): with the gradient-of-conv padding
+    (k-1-pl, k-1-pr) = (3, 2) the output decomposes by parity into
+        y[2i]   = x[i-1]*w[3] + x[i]*w[1]
+        y[2i+1] = x[i-1]*w[4] + x[i]*w[2] + x[i+1]*w[0]
+    i.e. each of the four (row, col) output parities is a VALID 3x3 conv over
+    x padded by 1, with a sub-kernel gathered from the original 5x5 weights
+    (zero where a parity has only 2 taps). One conv with 4*out_ch channels
+    computes all four; interleaving the parities is a reshape/transpose
+    (depth-to-space). Identical terms to the dilated form — no zero MACs.
+    """
+    w = params["w"].astype(dtype)  # (5, 5, out_ch, in_ch) — TF deconv layout
+    out_ch, in_ch = w.shape[2], w.shape[3]
+    # Pad a zero slice at index 5 so parity-0's missing third tap can be
+    # gathered uniformly.
+    wp = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    idx = jnp.array([[3, 1, 5],   # even outputs: taps at x[i-1], x[i]
+                     [4, 2, 0]])  # odd outputs: taps at x[i-1], x[i], x[i+1]
+    # K[a, b, r, s, o, i] = wp[idx[a, r], idx[b, s], o, i]
+    kern = wp[idx[:, :, None, None], idx[None, None, :, :]]  # (2,3,2,3,o,i)
+    kern = jnp.transpose(kern, (1, 3, 5, 0, 2, 4))           # (3,3,i,2,2,o)
+    kern = kern.reshape(3, 3, in_ch, 4 * out_ch)
+    xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, kern, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    b, m, n = x.shape[0], x.shape[1], x.shape[2]
+    y = y.reshape(b, m, n, 2, 2, out_ch)
+    y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(b, 2 * m, 2 * n, out_ch)
     return (y + params["b"]).astype(dtype)
 
 

@@ -1,0 +1,385 @@
+"""Pyramid-packed, gather-free Haar cascade evaluation on TPU.
+
+The existing device path (haar.py JaxStageEvaluator) gathers integral-image
+corners per window (`ii[ys, xs]`) — and gathers are the one thing the TPU
+does badly, which is why the C++ host evaluator stayed the default. This
+module is the TPU-native redesign (SURVEY.md §2.4's "batched multi-scale
+window scoring"), built on three observations:
+
+  1. **Image pyramid instead of feature scaling** (OpenCV's old-format
+     detectMultiScale strategy): every level evaluates the cascade at its
+     base 20x20 window over a bilinear-downscaled image, so the feature
+     geometry is a compile-time constant shared by all scales.
+  2. **All levels pack into one canvas**: each level's (Hk+1, Wk+1)
+     integral-image block is stacked at an even row offset. Window origins
+     of every scale then live on ONE stride-2 grid over the canvas.
+  3. **On a regular window grid, a rect sum is a strided slice**: the
+     corner value `ii[y0 + dy, x0 + dx]` for all grid origins (y0, x0)
+     at once is `lax.slice(ii, (dy, dx), ..., strides=(s, s))` — ZERO
+     gathers; the whole cascade becomes elementwise VPU arithmetic
+     batched over frames.
+
+Execution is two dispatches per clip:
+  - dispatch 1: integral images + early stages for ALL windows x ALL
+    scales x ALL frames in one program -> alive bitmask; the ii/ii2
+    canvases stay device-resident (returned as jax arrays, not fetched);
+  - dispatch 2: the few survivors, padded to a bucket, run the deep stages
+    with per-window gathers on those canvases (hundreds of windows — cheap).
+
+Semantics vs the feature-scaled backends (HaarDetector / NativeHaarDetector)
+differ exactly the way OpenCV's old-format path differs from its new-format
+path: image resampling vs integer rect scaling. Parity is therefore
+statistical (detection agreement on real faces, noise rejection), tested in
+tests/test_haar_device.py — consistent with the repo-wide rule that OpenCV
+bit-exactness is a non-goal (SURVEY.md §7.3).
+
+Reference behavior being replaced: cv2.CascadeClassifier.detectMultiScale
+(track_faces.py:243,260-262; facedetect.py:164; webcam_client.py:49).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, NamedTuple, Tuple
+
+import numpy as np
+
+from gifgan_tpu.track.haar import (HaarCascade, group_rectangles,
+                                   integral_images, parse_cascade,
+                                   _eval_stages, _scaled_rects)
+
+
+class _Level(NamedTuple):
+    scale: float   # detected-size multiplier (original px / level px)
+    h: int         # level image height
+    w: int         # level image width
+    row: int       # canvas row where this level's ii block starts (even)
+
+
+def _plan_levels(cas: HaarCascade, h: int, w: int, scale_factor: float,
+                 min_size: int, max_size_factor: float) -> List[_Level]:
+    side = math.sqrt(h * w)
+    max_len = side * max_size_factor
+    levels = []
+    row = 0
+    scale = max(min_size / cas.window_w, 1.0)
+    while True:
+        ww = int(round(cas.window_w * scale))
+        wh = int(round(cas.window_h * scale))
+        if ww > min(w, max_len) or wh > min(h, max_len):
+            break
+        lh, lw = int(round(h / scale)), int(round(w / scale))
+        if lh < cas.window_h or lw < cas.window_w:
+            break
+        levels.append(_Level(scale, lh, lw, row))
+        # ii block is (lh+1) rows; keep the next block at an even offset so
+        # all levels' window origins share one stride-2 canvas grid.
+        row += ((lh + 1 + 1) // 2) * 2
+        scale *= scale_factor
+    return levels
+
+
+class DeviceHaarDetector:
+    """detectMultiScale-equivalent detector; all scales and frames of a clip
+    evaluated in one gather-free device program. Exposes the same
+    detect_rects / detect_batch / detect_video / __call__ surface as the
+    haar.py detectors."""
+
+    def __init__(self, cascade_path: str, scale_factor: float = 1.1,
+                 min_neighbors: int = 3, min_size: int = 20,
+                 max_size_factor: float = 1.0, early_stages: int = 6,
+                 stride: int = 1):
+        self.cas = parse_cascade(cascade_path)
+        self.scale_factor = scale_factor
+        self.min_neighbors = min_neighbors
+        self.min_size = min_size
+        self.max_size_factor = max_size_factor
+        self.early_stages = min(early_stages, len(self.cas.stage_thr))
+        self.stride = stride
+        # base-scale rects: _scaled_rects at 1.0 only re-derives the
+        # first-rect weight from the others (exact, no rounding)
+        self.rects0 = _scaled_rects(self.cas, 1.0)
+        ex = self.rects0[:, :, 0] + self.rects0[:, :, 2]
+        ey = self.rects0[:, :, 1] + self.rects0[:, :, 3]
+        self.ext_x = int(max(self.cas.window_w, ex.max()))
+        self.ext_y = int(max(self.cas.window_h, ey.max()))
+        self._progs: Dict[Tuple[int, int, int], tuple] = {}
+        self._deep_cache: Dict[int, object] = {}
+
+    # -- program construction -------------------------------------------
+
+    def _grid_meta(self, levels: List[_Level], canvas_h: int, canvas_w: int):
+        """Static per-canvas-grid arrays: validity + level id + local x/y."""
+        st = self.stride
+        # corner slices reach gy*st + ext_y and gx*st + ext_x; keep them
+        # strictly inside the canvas
+        ny = (canvas_h - 1 - self.ext_y) // st + 1
+        nx = (canvas_w - 1 - self.ext_x) // st + 1
+        valid = np.zeros((ny, nx), bool)
+        level_id = np.full((ny, nx), -1, np.int32)
+        for li, lv in enumerate(levels):
+            # valid local origins: x in [0, lw - ext_x], y in [0, lh - ext_y]
+            y0 = lv.row // st
+            y1 = y0 + (lv.h - self.ext_y) // st + 1
+            x1 = (lv.w - self.ext_x) // st + 1
+            if y1 <= y0 or x1 <= 0:
+                continue
+            y1 = min(y1, ny)
+            x1 = min(x1, nx)
+            valid[y0:y1, :x1] = True
+            level_id[y0:y1, :x1] = li
+        return ny, nx, valid, level_id
+
+    def _build_program(self, t: int, h: int, w: int):
+        import jax
+        import jax.numpy as jnp
+
+        cas = self.cas
+        levels = _plan_levels(cas, h, w, self.scale_factor, self.min_size,
+                              self.max_size_factor)
+        if not levels:
+            return None
+        last = levels[-1]
+        canvas_h = last.row + ((last.h + 1 + 1) // 2) * 2 + self.ext_y
+        canvas_w = max(lv.w for lv in levels) + 1
+        ny, nx, valid, level_id = self._grid_meta(levels, canvas_h, canvas_w)
+        st = self.stride
+
+        n_early = int(cas.stage_first[self.early_stages - 1]
+                      + cas.stage_count[self.early_stages - 1])
+        rects = self.rects0
+        ww, wh = cas.window_w, cas.window_h
+        inv_area = 1.0 / (ww * wh)
+        valid_j = jnp.asarray(valid)
+
+        def corner(img, dy: int, dx: int):
+            """(T, canvas) -> (T, ny, nx): img[:, gy+dy, gx+dx] over the
+            stride-`st` origin grid — a pure strided slice."""
+            return jax.lax.slice(
+                img, (0, dy, dx),
+                (t, dy + (ny - 1) * st + 1, dx + (nx - 1) * st + 1),
+                (1, st, st))
+
+        def rect_grid(img, x0: int, y0: int, rw: int, rh: int):
+            return (corner(img, y0, x0) + corner(img, y0 + rh, x0 + rw)
+                    - corner(img, y0, x0 + rw) - corner(img, y0 + rh, x0))
+
+        def program(grays):
+            # grays: (T, h, w) float32 in [0, 255]
+            blocks_ii, blocks_ii2 = [], []
+            for lv in levels:
+                g = jax.image.resize(grays, (t, lv.h, lv.w), "bilinear")
+                ii = jnp.pad(jnp.cumsum(jnp.cumsum(g, 1), 2),
+                             ((0, 0), (1, 0), (1, 0)))
+                ii2 = jnp.pad(jnp.cumsum(jnp.cumsum(g * g, 1), 2),
+                              ((0, 0), (1, 0), (1, 0)))
+                block_h = ((lv.h + 1 + 1) // 2) * 2
+                pad = ((0, 0), (0, block_h - (lv.h + 1)),
+                       (0, canvas_w - (lv.w + 1)))
+                blocks_ii.append(jnp.pad(ii, pad))
+                blocks_ii2.append(jnp.pad(ii2, pad))
+            tail = canvas_h - sum(b.shape[1] for b in blocks_ii)
+            zpad = jnp.zeros((t, tail, canvas_w), jnp.float32)
+            ii = jnp.concatenate(blocks_ii + [zpad], axis=1)
+            ii2 = jnp.concatenate(blocks_ii2 + [zpad], axis=1)
+
+            # window variance-normalization factor over the grid
+            s1 = rect_grid(ii, 0, 0, ww, wh)
+            s2 = rect_grid(ii2, 0, 0, ww, wh)
+            mean = s1 * inv_area
+            var = s2 * inv_area - mean * mean
+            nf = jnp.where(var > 0, jnp.sqrt(jnp.maximum(var, 0.0)), 1.0)
+
+            # early stages, elementwise over (T, ny, nx)
+            alive = jnp.broadcast_to(valid_j, (t, ny, nx))
+            fcache: Dict[int, jax.Array] = {}
+
+            def fval(fi: int):
+                if fi not in fcache:
+                    acc = None
+                    for r in range(3):
+                        x0, y0, rw, rh, wt = rects[fi, r]
+                        if wt == 0.0:
+                            continue
+                        g = rect_grid(ii, int(x0), int(y0), int(rw),
+                                      int(rh)) * float(wt)
+                        acc = g if acc is None else acc + g
+                    fcache[fi] = acc * inv_area
+                return fcache[fi]
+
+            for s in range(self.early_stages):
+                a = int(cas.stage_first[s])
+                b = a + int(cas.stage_count[s])
+                total = jnp.zeros((t, ny, nx), jnp.float32)
+                for tr in range(a, b):
+                    # children codes are per-tree compile-time scalars, so
+                    # the depth-2 tree is pure selects — no table gather
+                    f0 = fval(int(cas.node_feat[tr, 0]))
+                    go0 = f0 < float(cas.node_thr[tr, 0]) * nf
+                    l0, r0 = int(cas.node_left[tr, 0]), int(cas.node_right[tr, 0])
+                    node1 = None
+
+                    def node1_val():
+                        nonlocal node1
+                        if node1 is None:
+                            f1 = fval(int(cas.node_feat[tr, 1]))
+                            go1 = f1 < float(cas.node_thr[tr, 1]) * nf
+                            node1 = jnp.where(
+                                go1,
+                                float(cas.leaves[tr][-int(cas.node_left[tr, 1])]),
+                                float(cas.leaves[tr][-int(cas.node_right[tr, 1])]))
+                        return node1
+
+                    v_left = (float(cas.leaves[tr][-l0]) if l0 <= 0
+                              else node1_val())
+                    v_right = (float(cas.leaves[tr][-r0]) if r0 <= 0
+                               else node1_val())
+                    total = total + jnp.where(go0, v_left, v_right)
+                alive = alive & (total >= float(cas.stage_thr[s]))
+                fcache.clear()
+            return alive, ii, ii2
+
+        fn = jax.jit(program)
+        return fn, levels, ny, nx, valid, level_id
+
+    # -- deep stages: padded gather over survivors -----------------------
+
+    def _deep_fn(self, bucket: int):
+        import jax
+        import jax.numpy as jnp
+
+        if bucket in self._deep_cache:
+            return self._deep_cache[bucket]
+        cas = self.cas
+        lo, hi = self.early_stages, len(cas.stage_thr)
+        t0 = int(cas.stage_first[lo])
+        t1 = int(cas.stage_first[hi - 1] + cas.stage_count[hi - 1])
+        feats = np.unique(cas.node_feat[t0:t1].ravel())
+        fmap = np.full(cas.rects.shape[0], -1, np.int64)
+        fmap[feats] = np.arange(len(feats))
+        rs = self.rects0[feats]
+        rx = jnp.asarray(rs[:, :, 0], jnp.int32)
+        ry = jnp.asarray(rs[:, :, 1], jnp.int32)
+        rw = jnp.asarray(rs[:, :, 2], jnp.int32)
+        rh = jnp.asarray(rs[:, :, 3], jnp.int32)
+        wt = jnp.asarray(rs[:, :, 4], jnp.float32)
+        lf = jnp.asarray(fmap[cas.node_feat[t0:t1]])
+        thr = jnp.asarray(cas.node_thr[t0:t1], jnp.float32)
+        nl = jnp.asarray(cas.node_left[t0:t1])
+        nr = jnp.asarray(cas.node_right[t0:t1])
+        leaves = jnp.asarray(cas.leaves[t0:t1], jnp.float32)
+        ind = np.zeros((t1 - t0, hi - lo), np.float32)
+        for s in range(lo, hi):
+            a = int(cas.stage_first[s]) - t0
+            ind[a:a + int(cas.stage_count[s]), s - lo] = 1.0
+        stage_ind = jnp.asarray(ind)
+        stage_thr = jnp.asarray(cas.stage_thr[lo:hi], jnp.float32)
+        ww, wh = cas.window_w, cas.window_h
+        inv_area = 1.0 / (ww * wh)
+
+        @jax.jit
+        def deep(ii, ii2, fi, ys, xs, valid):
+            s1 = (ii[fi, ys, xs] + ii[fi, ys + wh, xs + ww]
+                  - ii[fi, ys, xs + ww] - ii[fi, ys + wh, xs])
+            s2 = (ii2[fi, ys, xs] + ii2[fi, ys + wh, xs + ww]
+                  - ii2[fi, ys, xs + ww] - ii2[fi, ys + wh, xs])
+            mean = s1 * inv_area
+            var = s2 * inv_area - mean * mean
+            nf = jnp.where(var > 0, jnp.sqrt(jnp.maximum(var, 0.0)), 1.0)
+            x1 = xs[:, None, None] + rx
+            y1 = ys[:, None, None] + ry
+            x2, y2 = x1 + rw, y1 + rh
+            f = fi[:, None, None]
+            sums = ii[f, y1, x1] + ii[f, y2, x2] - ii[f, y1, x2] - ii[f, y2, x1]
+            fvals = (sums * wt).sum(axis=2) * inv_area
+            f0 = fvals[:, lf[:, 0]]
+            f1 = fvals[:, lf[:, 1]]
+            nfc = nf[:, None]
+            child = jnp.where(f0 < thr[None, :, 0] * nfc, nl[None, :, 0],
+                              nr[None, :, 0])
+            leaf_n1 = jnp.where(f1 < thr[None, :, 1] * nfc, -nl[None, :, 1],
+                                -nr[None, :, 1])
+            leaf_idx = jnp.where(child <= 0, -child, leaf_n1)
+            vals = jnp.take_along_axis(
+                jnp.broadcast_to(leaves[None], (xs.shape[0],) + leaves.shape),
+                leaf_idx[:, :, None], axis=2)[:, :, 0]
+            stage_sums = vals @ stage_ind
+            return jnp.all(stage_sums >= stage_thr[None, :], axis=1) & valid
+
+        self._deep_cache[bucket] = deep
+        return deep
+
+    # -- public API ------------------------------------------------------
+
+    def detect_batch(self, grays: np.ndarray) -> List[np.ndarray]:
+        """grays: (T, H, W) float in [0, 255]. Returns T (M, 4) x,y,w,h
+        arrays in original image coordinates."""
+        import jax.numpy as jnp
+
+        t, h, w = grays.shape
+        if h * w * 255.0 > 2 ** 24:   # f32 integral-image precision bound
+            from gifgan_tpu.track.haar import HaarDetector
+            det = HaarDetector.__new__(HaarDetector)
+            det.__dict__.update(self.__dict__)
+            return [det.detect_rects(g) for g in grays]
+        key = (t, h, w)
+        if key not in self._progs:
+            self._progs[key] = self._build_program(t, h, w)
+        prog = self._progs[key]
+        if prog is None:
+            return [np.zeros((0, 4), np.int32) for _ in range(t)]
+        fn, levels, ny, nx, valid, level_id = prog
+
+        alive, ii, ii2 = fn(jnp.asarray(grays, jnp.float32))
+        alive = np.asarray(alive)                      # (T, ny, nx) bool
+        fi, gy, gx = np.nonzero(alive)
+        candidates: List[List[tuple]] = [[] for _ in range(t)]
+        if len(fi):
+            st = self.stride
+            n = len(fi)
+            bucket = 1 << max(7, (n - 1).bit_length())
+            fip = np.zeros(bucket, np.int32)
+            ysp = np.zeros(bucket, np.int32)
+            xsp = np.zeros(bucket, np.int32)
+            vp = np.zeros(bucket, bool)
+            fip[:n] = fi
+            ysp[:n] = gy * st
+            xsp[:n] = gx * st
+            vp[:n] = True
+            deep = self._deep_fn(bucket)
+            ok = np.asarray(deep(ii, ii2, jnp.asarray(fip), jnp.asarray(ysp),
+                                 jnp.asarray(xsp), jnp.asarray(vp)))[:n]
+            cas = self.cas
+            for i in np.nonzero(ok)[0]:
+                lv = levels[level_id[gy[i], gx[i]]]
+                ly = gy[i] * st - lv.row
+                lx = gx[i] * st
+                candidates[fi[i]].append((
+                    int(round(lx * lv.scale)), int(round(ly * lv.scale)),
+                    int(round(cas.window_w * lv.scale)),
+                    int(round(cas.window_h * lv.scale))))
+        return [group_rectangles(np.asarray(c, np.int64).reshape(-1, 4),
+                                 self.min_neighbors) for c in candidates]
+
+    def detect_rects(self, gray: np.ndarray) -> np.ndarray:
+        return self.detect_batch(np.asarray(gray)[None])[0]
+
+    def detect_video(self, frames_rgb: np.ndarray):
+        from gifgan_tpu.track.boxes import Detection
+
+        grays = (np.dot(frames_rgb[..., :3].astype(np.float64),
+                        [0.299, 0.587, 0.114])
+                 if frames_rgb.ndim == 4 else frames_rgb.astype(np.float64))
+        rect_lists = self.detect_batch(grays)
+        return [[Detection.from_rect(r, i) for r in rects]
+                for i, rects in enumerate(rect_lists)]
+
+    def __call__(self, frame: np.ndarray, frame_number: int = 0):
+        from gifgan_tpu.track.boxes import Detection
+
+        gray = (np.dot(frame[..., :3].astype(np.float64),
+                       [0.299, 0.587, 0.114])
+                if frame.ndim == 3 and frame.shape[-1] >= 3
+                else frame.astype(np.float64))
+        rects = self.detect_rects(gray)
+        return [Detection.from_rect(r, frame_number) for r in rects]

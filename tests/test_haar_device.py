@@ -1,0 +1,127 @@
+"""DeviceHaarDetector: the pyramid-packed, gather-free cascade.
+
+Semantic target: cv2.CascadeClassifier.detectMultiScale as used by the
+reference (track_faces.py:260-262). Parity with the feature-scaled backends
+is statistical (image-pyramid vs rect-scaling, like OpenCV old- vs
+new-format paths), so these tests assert detection agreement, not
+bit-equality."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gifgan_tpu.track.haar import HaarDetector
+from gifgan_tpu.track.haar_device import DeviceHaarDetector, _plan_levels
+
+_CASCADES = [
+    "/root/reference/demo/classifier_configs/haarcascade_frontalface_alt2.xml",
+    os.path.expanduser("~/haarcascade_frontalface_alt2.xml"),
+]
+_FACES = "/root/reference/firebase/public/mturk/nested_dcgan_samples"
+
+
+def _cascade_path():
+    for p in _CASCADES:
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def _load_clip(t=4, rep=2):
+    import imageio.v2 as imageio
+
+    f = sorted(os.listdir(_FACES))[0]
+    frames = np.stack([np.asarray(x)[..., :3]
+                       for x in imageio.mimread(os.path.join(_FACES, f))])
+    frames = np.concatenate([frames] * (t // len(frames) + 1))[:t]
+    big = np.repeat(np.repeat(frames, rep, 1), rep, 2)
+    return np.dot(big.astype(np.float64), [0.299, 0.587, 0.114])
+
+
+needs_data = pytest.mark.skipif(
+    _cascade_path() is None or not os.path.isdir(_FACES),
+    reason="cascade XML / face samples not on host")
+
+
+@needs_data
+def test_level_plan_is_packed_even():
+    det = DeviceHaarDetector(_cascade_path())
+    levels = _plan_levels(det.cas, 128, 128, 1.1, 20, 1.0)
+    assert len(levels) >= 8
+    for lv in levels:
+        assert lv.row % 2 == 0
+    # level sizes shrink geometrically
+    assert levels[0].h == 128 and levels[-1].h < 30
+
+
+@needs_data
+def test_agrees_with_host_detector_on_faces():
+    import imageio.v2 as imageio
+
+    dd = DeviceHaarDetector(_cascade_path(), min_neighbors=2, min_size=20)
+    hd = HaarDetector(_cascade_path(), min_neighbors=2, min_size=20)
+    agree = 0
+    files = sorted(os.listdir(_FACES))[:6]
+    for f in files:
+        frame = np.asarray(imageio.mimread(
+            os.path.join(_FACES, f))[0])[..., :3]
+        big = np.repeat(np.repeat(frame, 2, 0), 2, 1)
+        gray = np.dot(big.astype(np.float64), [0.299, 0.587, 0.114])
+        rd = dd.detect_rects(gray)
+        rh = hd.detect_rects(gray)
+        if len(rd) == 0 and len(rh) == 0:
+            agree += 1
+            continue
+        if len(rd) == 0 or len(rh) == 0:
+            continue
+        # primary (largest) boxes must overlap with IoU > 0.6
+        bd = rd[np.argmax(rd[:, 2] * rd[:, 3])]
+        bh = rh[np.argmax(rh[:, 2] * rh[:, 3])]
+        x1 = max(bd[0], bh[0])
+        y1 = max(bd[1], bh[1])
+        x2 = min(bd[0] + bd[2], bh[0] + bh[2])
+        y2 = min(bd[1] + bd[3], bh[1] + bh[3])
+        inter = max(0, x2 - x1) * max(0, y2 - y1)
+        union = bd[2] * bd[3] + bh[2] * bh[3] - inter
+        if inter / union > 0.6:
+            agree += 1
+    assert agree >= 5, f"only {agree}/6 clips agree with the host detector"
+
+
+@needs_data
+def test_rejects_noise():
+    dd = DeviceHaarDetector(_cascade_path(), min_neighbors=2, min_size=20)
+    rng = np.random.default_rng(0)
+    hits = sum(
+        int(len(dd.detect_rects(
+            rng.integers(0, 255, (128, 128)).astype(np.float64))) > 0)
+        for _ in range(3))
+    assert hits == 0
+
+
+@needs_data
+def test_batch_matches_per_frame():
+    dd = DeviceHaarDetector(_cascade_path(), min_neighbors=2, min_size=20)
+    grays = _load_clip(t=3)
+    batched = dd.detect_batch(grays)
+    for i, g in enumerate(grays):
+        single = dd.detect_rects(g)
+        assert len(batched[i]) == len(single)
+        if len(single):
+            assert np.abs(batched[i] - single).max() <= 1
+
+
+@needs_data
+def test_detect_video_returns_detections():
+    import imageio.v2 as imageio
+
+    dd = DeviceHaarDetector(_cascade_path(), min_neighbors=2, min_size=20)
+    f = sorted(os.listdir(_FACES))[0]
+    frames = np.stack([np.asarray(x)[..., :3]
+                       for x in imageio.mimread(os.path.join(_FACES, f))])[:2]
+    big = np.repeat(np.repeat(frames, 2, 1), 2, 2)
+    dets = dd.detect_video(big)
+    assert len(dets) == 2
+    assert all(d.frame_number == i for i, lst in enumerate(dets) for d in lst)
+    assert sum(len(lst) for lst in dets) >= 2

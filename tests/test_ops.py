@@ -156,3 +156,48 @@ def test_center_crop():
     c = img_ops.center_crop(x, 4)
     assert c.shape == (4, 4, 1)
     assert float(c[0, 0, 0]) == 7.0
+
+
+def test_deconv2d_subpixel_impl_identical(key):
+    """The depth-to-space deconv (nn._deconv2d_subpixel) computes the exact
+    same function as the dilated gradient-of-conv form — values and both
+    gradients — including odd input sizes. Kept as a measured alternative
+    (slower on v5e at the flagship shape, docs/PROFILE.md round 3)."""
+    for m, ic, oc in [(4, 8, 5), (7, 3, 2), (16, 6, 4)]:
+        kx, kp = jax.random.split(jax.random.fold_in(key, m))
+        p = nn.deconv2d_init(kp, ic, oc)
+        x = jax.random.normal(kx, (2, m, m, ic))
+        a = nn.deconv2d(p, x, impl="dilated")
+        b = nn.deconv2d(p, x, impl="subpixel")
+        assert a.shape == b.shape == (2, 2 * m, 2 * m, oc)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    p = nn.deconv2d_init(key, 8, 4)
+    x = jax.random.normal(key, (2, 4, 4, 8))
+
+    def loss(p, x, impl):
+        return jnp.sum(nn.deconv2d(p, x, impl=impl) ** 2)
+
+    ga = jax.grad(loss)(p, x, "dilated")
+    gb = jax.grad(loss)(p, x, "subpixel")
+    np.testing.assert_allclose(np.asarray(ga["w"]), np.asarray(gb["w"]),
+                               rtol=1e-4, atol=1e-4)
+    gxa = jax.grad(lambda x: loss(p, x, "dilated"))(x)
+    gxb = jax.grad(lambda x: loss(p, x, "subpixel"))(x)
+    np.testing.assert_allclose(np.asarray(gxa), np.asarray(gxb),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_set_deconv_impl_switches_default(key):
+    prev = nn.set_deconv_impl("subpixel")
+    try:
+        assert prev == "dilated"
+        p = nn.deconv2d_init(key, 3, 2)
+        x = jax.random.normal(key, (1, 4, 4, 3))
+        y_sub = nn.deconv2d(p, x)
+        y_dil = nn.deconv2d(p, x, impl="dilated")
+        np.testing.assert_allclose(np.asarray(y_sub), np.asarray(y_dil),
+                                   rtol=1e-5, atol=1e-5)
+    finally:
+        nn.set_deconv_impl(prev)
