@@ -315,11 +315,33 @@ def cmd_track(args):
                       min_frame_count=args.min_frame_count,
                       min_total_detections=args.min_total_detections,
                       target_size=args.target_size,
-                      flow_backend=args.flow_backend)
+                      flow_backend=args.flow_backend,
+                      detector_backend=args.detector_backend)
     stats = run_directory(args.input_directory, args.output_directory, cfg,
                           cascade_path=args.cascade,
                           max_consecutive_errors=args.max_consecutive_errors)
     print(stats.render_text())
+
+
+def cmd_ckpt_downgrade(args):
+    from gifgan_tpu.core.ckpt_tools import downgrade_checkpoint
+
+    out = downgrade_checkpoint(args.input_prefix, args.output)
+    print(f"wrote V1 TensorSlice checkpoint: {out}")
+
+
+def cmd_ckpt_inspect(args):
+    import os as _os
+
+    if _os.path.isdir(args.path):
+        from gifgan_tpu.core.ckpt_tools import inspect
+
+        print(inspect(args.path))
+    else:
+        from gifgan_tpu.core.ckpt_tools import read_tf_checkpoint
+
+        for name, arr in sorted(read_tf_checkpoint(args.path).items()):
+            print(f"{name}  {arr.dtype}  {arr.shape}")
 
 
 def cmd_combine_stats(args):
@@ -710,6 +732,10 @@ def main(argv=None):
                    choices=["auto", "cv2", "mxu", "jax"],
                    help="stabilizer corner+LK backend (mxu = gather-free "
                         "device kernels, kernels/flow.py)")
+    p.add_argument("--detector-backend", default="auto",
+                   choices=["auto", "native", "device", "cv2", "python"],
+                   help="Haar cascade backend (device = pyramid-packed "
+                        "gather-free TPU cascade, track/haar_device.py)")
     p.set_defaults(fn=cmd_track)
 
     p = sub.add_parser("make-paths", help="generate expression-path library")
@@ -853,6 +879,22 @@ def main(argv=None):
 
     p = sub.add_parser("bench")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser(
+        "ckpt-downgrade",
+        help="TF V2 bundle (or V1) -> V1 TensorSlice file, no TF needed "
+             "(reference utils/downgrade_tf_checkpoint.py)")
+    p.add_argument("--input-prefix", required=True,
+                   help="TF checkpoint prefix (path to .index's prefix, "
+                        "or a V1 file)")
+    p.add_argument("--output", required=True, help="output V1 file path")
+    p.set_defaults(fn=cmd_ckpt_downgrade)
+
+    p = sub.add_parser("ckpt-inspect",
+                       help="list keys/shapes/dtypes of a checkpoint "
+                            "(ours or a TF bundle)")
+    p.add_argument("path", help="gifgan checkpoint dir or TF prefix")
+    p.set_defaults(fn=cmd_ckpt_inspect)
 
     args = parser.parse_args(argv)
     args.fn(args)

@@ -368,3 +368,145 @@ def import_reference_dcgan(prefix: str, cfg, scope: str = ""):
         dp[f"bn{i}"], ds[f"bn{i}"] = bn(f"d_bn{i}")
     return (DCGANParams(generator=gp, discriminator=dp),
             DCGANState(generator=gs, discriminator=ds))
+
+
+# ---------------------------------------------------------------------------
+# V1 TensorSlice WRITER — the reverse of _read_tf_v1, completing parity with
+# the reference's V2->V1 migration tool (utils/downgrade_tf_checkpoint.py:
+# 32-44: load a V2 checkpoint, re-save with write_version=1). No TensorFlow
+# dependency: serializes the SavedTensorSlices protos and the leveldb table
+# container (uncompressed blocks, masked crc32c) by hand.
+# ---------------------------------------------------------------------------
+
+_TF_DTYPE_ENUMS = {np.dtype(v): k for k, v in _TF_DTYPES.items()}
+
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        table = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            table.append(c)
+        _CRC32C_TABLE = table
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    """leveldb's masked crc32c (type byte included by the caller)."""
+    crc = _crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def _emit_varint(n: int) -> bytes:
+    out = b""
+    while True:
+        b7 = n & 0x7F
+        n >>= 7
+        out += bytes([b7 | (0x80 if n else 0)])
+        if not n:
+            return out
+
+
+def _field_varint(num: int, val: int) -> bytes:
+    return _emit_varint(num << 3) + _emit_varint(val)
+
+
+def _field_bytes(num: int, payload: bytes) -> bytes:
+    return _emit_varint((num << 3) | 2) + _emit_varint(len(payload)) + payload
+
+
+def _shape_proto(shape) -> bytes:
+    return b"".join(
+        _field_bytes(2, _field_varint(1, int(s))) for s in shape)
+
+
+def _slice_proto(shape) -> bytes:
+    # TensorSliceProto: repeated Extent{start=1, length=2} — full extents
+    return b"".join(
+        _field_bytes(1, _field_varint(1, 0) + _field_varint(2, int(s)))
+        for s in shape)
+
+
+def _tensor_proto(arr: np.ndarray) -> bytes:
+    enum = _TF_DTYPE_ENUMS.get(arr.dtype)
+    if enum is None:
+        raise ValueError(f"no TF dtype enum for {arr.dtype}")
+    content = np.ascontiguousarray(arr).tobytes()
+    return (_field_varint(1, enum) + _field_bytes(2, _shape_proto(arr.shape))
+            + _field_bytes(4, content))
+
+
+def _write_block(f, entries) -> tuple:
+    """One uncompressed table block; returns its BlockHandle (offset, size).
+    Every entry is its own restart point (shared=0) — valid leveldb."""
+    off = f.tell()
+    body = b""
+    restarts = []
+    for key, value in entries:
+        restarts.append(len(body))
+        body += (_emit_varint(0) + _emit_varint(len(key))
+                 + _emit_varint(len(value)) + key + value)
+    if not restarts:
+        restarts = [0]
+    body += b"".join(_struct.pack("<I", r) for r in restarts)
+    body += _struct.pack("<I", len(restarts))
+    f.write(body)
+    f.write(bytes([0]))  # compression type: none
+    f.write(_struct.pack("<I", _masked_crc(body + bytes([0]))))
+    return off, len(body)
+
+
+def _handle(off: int, size: int) -> bytes:
+    return _emit_varint(off) + _emit_varint(size)
+
+
+def write_tf_checkpoint_v1(arrays: Dict[str, np.ndarray], path: str) -> str:
+    """Write {name: array} as a TF V1 TensorSlice checkpoint file (the
+    format tf.train.Saver(write_version=1) produced). Round-trips through
+    read_tf_checkpoint; data keys are name + NUL + full-slice spec (sorted,
+    unique — the property the table format needs)."""
+    meta_tensors = b""
+    data_entries = []
+    for name in sorted(arrays):
+        arr = np.asarray(arrays[name])
+        enum = _TF_DTYPE_ENUMS.get(arr.dtype)
+        if enum is None:
+            raise ValueError(f"{name}: no TF dtype enum for {arr.dtype}")
+        meta_tensors += _field_bytes(
+            1, _field_bytes(1, name.encode())
+            + _field_bytes(2, _shape_proto(arr.shape))
+            + _field_varint(3, enum)
+            + _field_bytes(4, _slice_proto(arr.shape)))
+        saved_slice = (_field_bytes(1, name.encode())
+                       + _field_bytes(2, _slice_proto(arr.shape))
+                       + _field_bytes(3, _tensor_proto(arr)))
+        key = name.encode() + b"\x00" + b":".join(
+            b"0,%d" % s for s in arr.shape)
+        data_entries.append((key, _field_bytes(2, saved_slice)))
+    header = _field_bytes(1, meta_tensors)  # SavedTensorSlices{meta=1}
+    entries = [(b"", header)] + sorted(data_entries)
+
+    with open(path, "wb") as f:
+        data_handle = _handle(*_write_block(f, entries))
+        meta_handle = _handle(*_write_block(f, []))   # empty metaindex
+        index_handle = _handle(*_write_block(
+            f, [(entries[-1][0] + b"\xff", data_handle)]))
+        footer = meta_handle + index_handle
+        footer += bytes(40 - len(footer))
+        footer += _struct.pack("<Q", _TF_MAGIC)
+        f.write(footer)
+    return path
+
+
+def downgrade_checkpoint(in_prefix: str, out_path: str) -> str:
+    """V2 bundle (or V1) -> V1 TensorSlice file, the reference's
+    downgrade_tf_checkpoint.py behavior without TensorFlow."""
+    return write_tf_checkpoint_v1(read_tf_checkpoint(in_prefix), out_path)

@@ -152,6 +152,10 @@ class TrackConfig:
     # "auto" = cv2 when present else mxu; "cv2" | "mxu" (gather-free device
     # kernels, kernels/flow.py) | "jax" (track/flow_jax.py)
     flow_backend: str = "auto"
+    # "auto" = native C++ then cv2 then python; "native" | "device"
+    # (pyramid-packed gather-free TPU cascade, track/haar_device.py) |
+    # "cv2" | "python"
+    detector_backend: str = "auto"
 
 
 def _to_jsonable(obj: Any) -> Any:

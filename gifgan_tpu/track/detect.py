@@ -148,12 +148,41 @@ def mssim(a, b, window: int = 8) -> "jax.Array":
 
 def default_detector(cascade_path: Optional[str] = None,
                      scale_factor: float = 1.1, min_neighbors: int = 3,
-                     min_size: int = 20, max_size_factor: float = 1.0):
+                     min_size: int = 20, max_size_factor: float = 1.0,
+                     backend: str = "auto"):
     """Best available Haar backend, fastest first: the first-party C++
     early-exit evaluator (native/haarcascade.cpp, ~66x the pure-Python path),
     then OpenCV's CascadeClassifier if this build has objdetect, then the
     pure-Python evaluator. `cascade_path` points at a standard OpenCV
-    cascade XML (user-supplied model data)."""
+    cascade XML (user-supplied model data).
+
+    backend: "auto" (above order) | "native" | "device" (pyramid-packed
+    gather-free TPU cascade, whole clips per dispatch —
+    track/haar_device.py) | "cv2" | "python"."""
+    if backend == "device":
+        from gifgan_tpu.track.haar_device import DeviceHaarDetector
+
+        if cascade_path is None:
+            raise ValueError("cascade_path required for the device backend")
+        return DeviceHaarDetector(cascade_path, scale_factor, min_neighbors,
+                                  min_size, max_size_factor)
+    if backend == "native":
+        from gifgan_tpu.track.haar import NativeHaarDetector
+
+        if cascade_path is None:
+            raise ValueError("cascade_path required for the native backend")
+        return NativeHaarDetector(cascade_path, scale_factor, min_neighbors,
+                                  min_size, max_size_factor)
+    if backend == "cv2":
+        return CV2HaarDetector(cascade_path, scale_factor, min_neighbors,
+                               min_size, max_size_factor)
+    if backend == "python":
+        from gifgan_tpu.track.haar import HaarDetector
+
+        if cascade_path is None:
+            raise ValueError("cascade_path required for the python backend")
+        return HaarDetector(cascade_path, scale_factor, min_neighbors,
+                            min_size, max_size_factor)
     if cascade_path is not None:
         try:
             from gifgan_tpu.track.haar import NativeHaarDetector

@@ -79,6 +79,28 @@ def _plan_levels(cas: HaarCascade, h: int, w: int, scale_factor: float,
     return levels
 
 
+def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """Antialiased linear (triangle-kernel) resampling matrix (n_out, n_in),
+    the separable equivalent of jax.image.resize 'bilinear' — precomputed on
+    host so device resize is two small matmuls per level instead of
+    jax.image.resize's TPU lowering (which materialized a 64 GB temp for a
+    16-frame 128px pyramid)."""
+    scale = n_in / n_out
+    support = max(scale, 1.0)
+    out = np.zeros((n_out, n_in), np.float32)
+    for i in range(n_out):
+        center = (i + 0.5) * scale - 0.5
+        lo = int(math.floor(center - support))
+        hi = int(math.ceil(center + support))
+        js = np.arange(lo, hi + 1)
+        w = np.maximum(0.0, 1.0 - np.abs(js - center) / support)
+        js = np.clip(js, 0, n_in - 1)
+        for j, wt in zip(js, w):
+            out[i, j] += wt
+        out[i] /= out[i].sum()
+    return out
+
+
 class DeviceHaarDetector:
     """detectMultiScale-equivalent detector; all scales and frames of a clip
     evaluated in one gather-free device program. Exposes the same
@@ -87,8 +109,8 @@ class DeviceHaarDetector:
 
     def __init__(self, cascade_path: str, scale_factor: float = 1.1,
                  min_neighbors: int = 3, min_size: int = 20,
-                 max_size_factor: float = 1.0, early_stages: int = 6,
-                 stride: int = 1):
+                 max_size_factor: float = 1.0, early_stages: int = 10,
+                 stride: int = 1, deep_chunk: int = 4096):
         self.cas = parse_cascade(cascade_path)
         self.scale_factor = scale_factor
         self.min_neighbors = min_neighbors
@@ -96,6 +118,7 @@ class DeviceHaarDetector:
         self.max_size_factor = max_size_factor
         self.early_stages = min(early_stages, len(self.cas.stage_thr))
         self.stride = stride
+        self.deep_chunk = deep_chunk
         # base-scale rects: _scaled_rects at 1.0 only re-derives the
         # first-rect weight from the others (exact, no rounding)
         self.rects0 = _scaled_rects(self.cas, 1.0)
@@ -164,11 +187,15 @@ class DeviceHaarDetector:
             return (corner(img, y0, x0) + corner(img, y0 + rh, x0 + rw)
                     - corner(img, y0, x0 + rw) - corner(img, y0 + rh, x0))
 
+        resize_mats = [
+            (jnp.asarray(_resize_matrix(h, lv.h)),
+             jnp.asarray(_resize_matrix(w, lv.w).T)) for lv in levels]
+
         def program(grays):
             # grays: (T, h, w) float32 in [0, 255]
             blocks_ii, blocks_ii2 = [], []
-            for lv in levels:
-                g = jax.image.resize(grays, (t, lv.h, lv.w), "bilinear")
+            for lv, (mh, mw) in zip(levels, resize_mats):
+                g = jnp.einsum("ah,thw,wb->tab", mh, grays, mw)
                 ii = jnp.pad(jnp.cumsum(jnp.cumsum(g, 1), 2),
                              ((0, 0), (1, 0), (1, 0)))
                 ii2 = jnp.pad(jnp.cumsum(jnp.cumsum(g * g, 1), 2),
@@ -286,12 +313,20 @@ class DeviceHaarDetector:
             mean = s1 * inv_area
             var = s2 * inv_area - mean * mean
             nf = jnp.where(var > 0, jnp.sqrt(jnp.maximum(var, 0.0)), 1.0)
-            x1 = xs[:, None, None] + rx
-            y1 = ys[:, None, None] + ry
-            x2, y2 = x1 + rw, y1 + rh
-            f = fi[:, None, None]
-            sums = ii[f, y1, x1] + ii[f, y2, x2] - ii[f, y1, x2] - ii[f, y2, x1]
-            fvals = (sums * wt).sum(axis=2) * inv_area
+            # one gather set per rect slot: (B, F) index tensors keep the
+            # trailing dim lane-aligned — a (B, F, 3, 1) index tensor's
+            # forced TPU gather layout padded 42x (15 GB at bucket 16k)
+            fvals = None
+            f = fi[:, None]
+            for r in range(rx.shape[1]):
+                x1 = xs[:, None] + rx[None, :, r]
+                y1 = ys[:, None] + ry[None, :, r]
+                x2 = x1 + rw[None, :, r]
+                y2 = y1 + rh[None, :, r]
+                s = (ii[f, y1, x1] + ii[f, y2, x2]
+                     - ii[f, y1, x2] - ii[f, y2, x1]) * wt[None, :, r]
+                fvals = s if fvals is None else fvals + s
+            fvals = fvals * inv_area
             f0 = fvals[:, lf[:, 0]]
             f1 = fvals[:, lf[:, 1]]
             nfc = nf[:, None]
@@ -337,18 +372,22 @@ class DeviceHaarDetector:
         if len(fi):
             st = self.stride
             n = len(fi)
-            bucket = 1 << max(7, (n - 1).bit_length())
-            fip = np.zeros(bucket, np.int32)
-            ysp = np.zeros(bucket, np.int32)
-            xsp = np.zeros(bucket, np.int32)
-            vp = np.zeros(bucket, bool)
-            fip[:n] = fi
-            ysp[:n] = gy * st
-            xsp[:n] = gx * st
-            vp[:n] = True
+            bucket = min(1 << max(7, (n - 1).bit_length()), self.deep_chunk)
             deep = self._deep_fn(bucket)
-            ok = np.asarray(deep(ii, ii2, jnp.asarray(fip), jnp.asarray(ysp),
-                                 jnp.asarray(xsp), jnp.asarray(vp)))[:n]
+            ok = np.zeros(n, bool)
+            for lo in range(0, n, bucket):
+                m = min(bucket, n - lo)
+                fip = np.zeros(bucket, np.int32)
+                ysp = np.zeros(bucket, np.int32)
+                xsp = np.zeros(bucket, np.int32)
+                vp = np.zeros(bucket, bool)
+                fip[:m] = fi[lo:lo + m]
+                ysp[:m] = gy[lo:lo + m] * st
+                xsp[:m] = gx[lo:lo + m] * st
+                vp[:m] = True
+                ok[lo:lo + m] = np.asarray(
+                    deep(ii, ii2, jnp.asarray(fip), jnp.asarray(ysp),
+                         jnp.asarray(xsp), jnp.asarray(vp)))[:m]
             cas = self.cas
             for i in np.nonzero(ok)[0]:
                 lv = levels[level_id[gy[i], gx[i]]]

@@ -162,7 +162,8 @@ def run_directory(input_dir: str, output_dir: str, cfg: TrackConfig,
     os.makedirs(output_dir, exist_ok=True)
     detector = detector or default_detector(
         cascade_path=cascade_path, scale_factor=cfg.scale_factor,
-        min_neighbors=cfg.min_neighbors)
+        min_neighbors=cfg.min_neighbors,
+        backend=getattr(cfg, "detector_backend", "auto"))
     if decode_fn is None:
         from gifgan_tpu.data.video import decode_clip
 

@@ -177,3 +177,125 @@ def test_save_multihost_primary_writes_all_barrier(tmp_path):
     assert p0 is not None and p1 is None
     assert events == ["ckpt_pre_5", "ckpt_post_5"] * 2
     assert checkpoint.latest_step(d) == 5
+
+
+# ---------------------------------------------------------------------------
+# Fault injection — crash/barrier-failure behavior of the multi-host path
+# (TODO.md round-2 testing gap). The reference has no elastic story at all
+# (SURVEY.md §5.3); these pin OUR failure semantics: a died write never
+# corrupts the previous step, failed saves are retryable, and followers only
+# observe complete checkpoints.
+# ---------------------------------------------------------------------------
+
+
+def test_crash_mid_write_preserves_previous_step(tmp_path, monkeypatch):
+    d = str(tmp_path)
+    tree = {"w": np.arange(6.0)}
+    checkpoint.save(d, 1, tree)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected disk fault")
+
+    monkeypatch.setattr(checkpoint.np, "savez", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        checkpoint.save(d, 2, {"w": np.arange(6.0) * 2})
+    monkeypatch.undo()
+
+    # the half-written step is invisible: latest is still 1 and loads clean
+    assert checkpoint.all_steps(d) == [1]
+    assert np.array_equal(checkpoint.load_flat(d)["w"], np.arange(6.0))
+
+    # retrying the same step succeeds despite the leftover .tmp dir
+    checkpoint.save(d, 2, {"w": np.arange(6.0) * 2})
+    assert checkpoint.all_steps(d) == [1, 2]
+    assert np.array_equal(checkpoint.load_flat(d)["w"], np.arange(6.0) * 2)
+
+
+def test_async_checkpointer_surfaces_injected_fault_then_recovers(
+        tmp_path, monkeypatch):
+    d = str(tmp_path)
+    ac = checkpoint.AsyncCheckpointer()
+    real_savez = checkpoint.np.savez
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("injected ENOSPC")
+        return real_savez(*a, **k)
+
+    monkeypatch.setattr(checkpoint.np, "savez", flaky)
+    ac.save(d, 1, {"w": np.ones(3)})
+    with pytest.raises(OSError, match="ENOSPC"):
+        ac.wait()
+    # next save goes through and the checkpointer is still usable
+    ac.save(d, 2, {"w": np.ones(3) * 2})
+    ac.wait()
+    ac.close()
+    assert checkpoint.all_steps(d) == [2]
+
+
+def test_multihost_barrier_failure_propagates_and_retry_is_idempotent(
+        tmp_path):
+    d = str(tmp_path)
+    tree = {"w": np.ones(4)}
+
+    def dead_peer_barrier(name):
+        raise TimeoutError(f"peer died at {name}")
+
+    # pre-barrier failure: nothing is written
+    with pytest.raises(TimeoutError):
+        checkpoint.save_multihost(d, 7, tree, process_index=0,
+                                  barrier=dead_peer_barrier)
+    assert checkpoint.all_steps(d) == []
+
+    # post-barrier failure: the write landed; the retry must overwrite
+    # the already-complete step without error
+    seen = []
+
+    def post_fails(name):
+        seen.append(name)
+        if name.startswith("ckpt_post"):
+            raise TimeoutError("peer died post-write")
+
+    with pytest.raises(TimeoutError):
+        checkpoint.save_multihost(d, 7, tree, process_index=0,
+                                  barrier=post_fails)
+    assert checkpoint.all_steps(d) == [7]
+    p = checkpoint.save_multihost(d, 7, tree, process_index=0,
+                                  barrier=lambda name: None)
+    assert p is not None and checkpoint.all_steps(d) == [7]
+    assert np.array_equal(checkpoint.load_flat(d)["w"], np.ones(4))
+
+
+def test_multihost_follower_only_sees_complete_checkpoints(tmp_path,
+                                                           monkeypatch):
+    """Two 'processes' (threads) with a real barrier; the primary's write is
+    slowed so a racing follower WOULD observe a partial step if the post
+    barrier didn't hold it back."""
+    import threading
+    import time as _time
+
+    d = str(tmp_path)
+    bar = threading.Barrier(2, timeout=30)
+    real_savez = checkpoint.np.savez
+
+    def slow_savez(*a, **k):
+        _time.sleep(0.3)
+        return real_savez(*a, **k)
+
+    monkeypatch.setattr(checkpoint.np, "savez", slow_savez)
+    results = {}
+
+    def run(proc):
+        tree = {"w": np.full(5, 3.0)}
+        checkpoint.save_multihost(d, 9, tree, process_index=proc,
+                                  barrier=lambda name: bar.wait())
+        # after save_multihost returns, the step must be complete
+        results[proc] = checkpoint.load_flat(d, 9)["w"].copy()
+
+    t0 = threading.Thread(target=run, args=(0,))
+    t1 = threading.Thread(target=run, args=(1,))
+    t0.start(); t1.start(); t0.join(); t1.join()
+    assert np.array_equal(results[0], np.full(5, 3.0))
+    assert np.array_equal(results[1], np.full(5, 3.0))

@@ -134,3 +134,47 @@ def test_tensorproto_typed_fields_decode():
     buf = bytes([0x08, 0x03, 0x38]) + varint
     arr = _tensorproto_to_array(buf)
     assert arr.dtype == np.int32 and arr[0] == -1
+
+
+def test_write_v1_roundtrip_and_downgrade_genuine_v2(tmp_path):
+    """The no-TF V1 TensorSlice WRITER (write_tf_checkpoint_v1) round-trips
+    bit-exactly through the reader, and downgrade_checkpoint reproduces the
+    reference's V2->V1 migration (utils/downgrade_tf_checkpoint.py:32-44)
+    on the genuine tf.train.Saver fixture."""
+    from gifgan_tpu.core.ckpt_tools import (downgrade_checkpoint,
+                                            read_tf_checkpoint,
+                                            write_tf_checkpoint_v1)
+
+    arrays = {
+        "g_h0_lin/Matrix": np.random.default_rng(0)
+        .standard_normal((7, 5)).astype(np.float32),
+        "d_bn1/moving_mean": np.arange(6, dtype=np.float64),
+        "global_step": np.asarray([1234], np.int64),
+        "mask": np.asarray([[True, False], [False, True]]),
+    }
+    p = str(tmp_path / "synth.ckpt")
+    write_tf_checkpoint_v1(arrays, p)
+    back = read_tf_checkpoint(p)
+    assert set(back) == set(arrays)
+    for k, v in arrays.items():
+        assert back[k].dtype == np.asarray(v).dtype
+        np.testing.assert_array_equal(back[k], v)
+
+    out = str(tmp_path / "ref_v1.ckpt")
+    downgrade_checkpoint(os.path.join(FIXDIR, "ref.ckpt"), out)
+    v1 = read_tf_checkpoint(out)
+    expected = np.load(os.path.join(FIXDIR, "expected.npz"))
+    assert set(v1) == set(expected.files)
+    for name in expected.files:
+        np.testing.assert_array_equal(v1[name], expected[name])
+
+
+def test_ckpt_downgrade_cli(tmp_path):
+    from gifgan_tpu.cli import main as cli_main
+    from gifgan_tpu.core.ckpt_tools import read_tf_checkpoint
+
+    out = str(tmp_path / "v1.ckpt")
+    cli_main(["ckpt-downgrade",
+              "--input-prefix", os.path.join(FIXDIR, "ref.ckpt"),
+              "--output", out])
+    assert len(read_tf_checkpoint(out)) == 48
