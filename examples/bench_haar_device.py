@@ -1,0 +1,88 @@
+"""Benchmark the TPU device Haar cascade vs the host C++ evaluator.
+
+Measures detectMultiScale-equivalent throughput on a real 16-frame face
+clip (reference mturk GIFs upscaled to `--size`), comparing:
+  - NativeHaarDetector: C++ early-exit per frame on host
+    (native/haarcascade.cpp, the 1-core-host default);
+  - DeviceHaarDetector: pyramid-packed gather-free early stages for the
+    whole clip in ONE TPU dispatch + C++ host finisher for survivors
+    (track/haar_device.py).
+
+Reference behavior being measured: cv2.CascadeClassifier.detectMultiScale
+per frame inside the track loop (/root/reference/data_collection/
+track_faces.py:260-262).
+
+Usage: python examples/bench_haar_device.py [--size 256] [--frames 16]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CASCADE = "/root/reference/demo/classifier_configs/haarcascade_frontalface_alt2.xml"
+FACES = "/root/reference/firebase/public/mturk/nested_dcgan_samples"
+
+
+def load_clip(frames: int, size: int) -> np.ndarray:
+    import imageio.v2 as imageio
+
+    f = sorted(os.listdir(FACES))[0]
+    clip = np.stack([np.asarray(x)[..., :3]
+                     for x in imageio.mimread(os.path.join(FACES, f))])
+    clip = np.concatenate([clip] * (frames // len(clip) + 1))[:frames]
+    rep = max(1, size // clip.shape[1])
+    big = np.repeat(np.repeat(clip, rep, 1), rep, 2)
+    return np.dot(big.astype(np.float64), [0.299, 0.587, 0.114])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--min-neighbors", type=int, default=2)
+    args = ap.parse_args()
+
+    from gifgan_tpu.track.haar import NativeHaarDetector
+    from gifgan_tpu.track.haar_device import DeviceHaarDetector
+
+    grays = load_clip(args.frames, args.size)
+    t, h, w = grays.shape
+    print(f"clip: {t} frames at {h}x{w}")
+
+    native = NativeHaarDetector(CASCADE, min_neighbors=args.min_neighbors)
+    device = DeviceHaarDetector(CASCADE, min_neighbors=args.min_neighbors)
+
+    # warm (device path compiles its program on first call)
+    rn = [native.detect_rects(g) for g in grays]
+    t0 = time.perf_counter()
+    rd = device.detect_batch(grays)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        rn = [native.detect_rects(g) for g in grays]
+    host_s = (time.perf_counter() - t0) / args.iters
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        rd = device.detect_batch(grays)
+    dev_s = (time.perf_counter() - t0) / args.iters
+
+    n_native = sum(len(r) for r in rn)
+    n_device = sum(len(r) for r in rd)
+    print(f"native C++ (per-frame): {host_s * 1e3:8.1f} ms/clip  "
+          f"{host_s / t * 1e3:6.2f} ms/frame  ({n_native} dets)")
+    print(f"device TPU (one dispatch + host finisher): "
+          f"{dev_s * 1e3:8.1f} ms/clip  {dev_s / t * 1e3:6.2f} ms/frame  "
+          f"({n_device} dets; first-call incl. compile {compile_s:.1f} s)")
+    print(f"speedup: {host_s / dev_s:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -38,7 +38,8 @@ def shard_batch_arrays(mesh: Mesh, *arrays):
 
 def make_sharded_step(step_fn: Callable, mesh: Mesh, *, static_args: dict,
                       donate_state: bool = True,
-                      batch_axis: int = 0) -> Callable:
+                      batch_axis: int = 0,
+                      state_shardings: Any = None) -> Callable:
     """Wrap a (ts, *batch_arrays, rng, **static) step into a pjit'd function
     with explicit shardings: state replicated, batch data-sharded, rng
     replicated.
@@ -46,6 +47,8 @@ def make_sharded_step(step_fn: Callable, mesh: Mesh, *, static_args: dict,
     step_fn signature: (ts, *arrays, rng, **static_args) -> (ts, metrics).
     batch_axis: which array axis shards over the mesh `data` axis — 0 for
     plain (B, ...) batches, 1 for chunked (K, B, ...) stacks (train_chunk).
+    state_shardings: optional sharding pytree for ts (e.g.
+    tp.vid_state_tp_shardings for a DP x TP step); default replicates.
     """
     rep = replicated_sharding(mesh)
     # unwrap an already-jitted step so we re-jit with explicit shardings
@@ -62,7 +65,8 @@ def make_sharded_step(step_fn: Callable, mesh: Mesh, *, static_args: dict,
 
     def in_shardings(ts, *args):
         *arrays, rng = args
-        ts_sh = jax.tree_util.tree_map(lambda _: rep, ts)
+        ts_sh = (state_shardings if state_shardings is not None
+                 else jax.tree_util.tree_map(lambda _: rep, ts))
         arr_sh = tuple(_batch_sharding(a) for a in arrays)
         return (ts_sh,) + arr_sh + (rep,)
 

@@ -52,3 +52,37 @@ def shard_dcgan_params_tp(mesh: Mesh, params: Dict) -> Dict:
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
+
+
+def vid_state_tp_shardings(mesh: Mesh, ts):
+    """Sharding pytree for a train/vid.py VidTrainState on a 2-D (data,
+    model) mesh: the nested image GAN's conv/deconv/linear weights
+    channel-sharded over `model`, everything else (vid nets, BN state,
+    optimizer slots) replicated. Feed to dp.make_sharded_step's
+    state_shardings for a combined DP x TP step — numerically a pure layout
+    change vs the replicated run."""
+    rep = NamedSharding(mesh, P())
+    axis_size = mesh.shape[MODEL_AXIS]
+
+    def img_sh(path, leaf):
+        key = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        spec = _spec_for(key, leaf.shape)
+        for dim, name in enumerate(spec):
+            if name == MODEL_AXIS and leaf.shape[dim] % axis_size != 0:
+                spec = P()
+                break
+        return NamedSharding(mesh, spec)
+
+    everything_rep = jax.tree_util.tree_map(lambda _: rep, ts)
+    params_sh = everything_rep.params._replace(
+        img_generator=jax.tree_util.tree_map_with_path(
+            img_sh, ts.params.img_generator),
+        img_discriminator=jax.tree_util.tree_map_with_path(
+            img_sh, ts.params.img_discriminator))
+    return everything_rep._replace(params=params_sh)
+
+
+def place_vid_state_tp(mesh: Mesh, ts):
+    """device_put a VidTrainState according to vid_state_tp_shardings."""
+    return jax.tree_util.tree_map(jax.device_put, ts,
+                                  vid_state_tp_shardings(mesh, ts))

@@ -566,6 +566,64 @@ class BatchedJaxHaarDetector(JaxHaarDetector):
                 for i, rects in enumerate(rect_lists)]
 
 
+def make_native_cascade_handle(cas: HaarCascade):
+    """(lib, handle, keepalive) for the C++ cascade evaluator
+    (native/haarcascade.cpp). Caller must lib.gifgan_haar_free(handle) and
+    hold `keepalive` (the arrays the C side reads) as long as the handle
+    lives. Raises RuntimeError when the native library is unavailable."""
+    import ctypes
+
+    from gifgan_tpu.data.native_gif import _load
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable (make -C native)")
+    if not hasattr(lib, "gifgan_haar_create"):
+        raise RuntimeError("native library too old; rebuild")
+    lib.gifgan_haar_create.restype = ctypes.c_void_p
+    lib.gifgan_haar_detect.restype = ctypes.c_int
+    # without explicit argtypes ctypes passes the 64-bit handle as a
+    # truncated C int — freeing a garbage pointer
+    lib.gifgan_haar_free.argtypes = [ctypes.c_void_p]
+    lib.gifgan_haar_free.restype = None
+    c_int_p = np.ctypeslib.ndpointer(np.int32, flags="C")
+    c_dbl_p = np.ctypeslib.ndpointer(np.float64, flags="C")
+    lib.gifgan_haar_create.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, c_dbl_p,
+        ctypes.c_int, c_int_p, c_dbl_p, c_int_p, c_int_p, c_dbl_p,
+        ctypes.c_int, c_int_p, c_int_p, c_dbl_p]
+    lib.gifgan_haar_detect.argtypes = [
+        ctypes.c_void_p, c_dbl_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int32, flags="C,WRITEABLE"),
+        ctypes.c_int]
+    if hasattr(lib, "gifgan_haar_eval_windows"):
+        lib.gifgan_haar_eval_windows.restype = None
+        lib.gifgan_haar_eval_windows.argtypes = [
+            ctypes.c_void_p, c_dbl_p, ctypes.c_int, ctypes.c_int,
+            c_int_p, c_int_p, ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.uint8, flags="C,WRITEABLE")]
+    # replace inf padding (unreached node 1) with a huge finite value
+    thr = np.where(np.isfinite(cas.node_thr), cas.node_thr, 1e30)
+    keepalive = (
+        np.ascontiguousarray(cas.rects, np.float64),
+        np.ascontiguousarray(cas.node_feat, np.int32),
+        np.ascontiguousarray(thr, np.float64),
+        np.ascontiguousarray(cas.node_left, np.int32),
+        np.ascontiguousarray(cas.node_right, np.int32),
+        np.ascontiguousarray(cas.leaves, np.float64),
+        np.ascontiguousarray(cas.stage_first, np.int32),
+        np.ascontiguousarray(cas.stage_count, np.int32),
+        np.ascontiguousarray(cas.stage_thr, np.float64),
+    )
+    k = keepalive
+    handle = lib.gifgan_haar_create(
+        cas.window_w, cas.window_h, cas.rects.shape[0], k[0],
+        len(cas.node_feat), k[1], k[2], k[3], k[4], k[5],
+        len(cas.stage_thr), k[6], k[7], k[8])
+    return lib, handle, keepalive
+
+
 class NativeHaarDetector(HaarDetector):
     """C++ early-exit cascade evaluator (native/haarcascade.cpp) — the
     per-window branchy loop the CPU does best: windows die after the first
@@ -574,52 +632,8 @@ class NativeHaarDetector(HaarDetector):
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        import ctypes
-
-        from gifgan_tpu.data.native_gif import _load
-
-        lib = _load()
-        if lib is None:
-            raise RuntimeError("native library unavailable (make -C native)")
-        if not hasattr(lib, "gifgan_haar_create"):
-            raise RuntimeError("native library too old; rebuild")
-        lib.gifgan_haar_create.restype = ctypes.c_void_p
-        lib.gifgan_haar_detect.restype = ctypes.c_int
-        # without explicit argtypes ctypes passes the 64-bit handle as a
-        # truncated C int — freeing a garbage pointer
-        lib.gifgan_haar_free.argtypes = [ctypes.c_void_p]
-        lib.gifgan_haar_free.restype = None
-        self._lib = lib
-        cas = self.cas
-        c_int_p = np.ctypeslib.ndpointer(np.int32, flags="C")
-        c_dbl_p = np.ctypeslib.ndpointer(np.float64, flags="C")
-        lib.gifgan_haar_create.argtypes = [
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, c_dbl_p,
-            ctypes.c_int, c_int_p, c_dbl_p, c_int_p, c_int_p, c_dbl_p,
-            ctypes.c_int, c_int_p, c_int_p, c_dbl_p]
-        lib.gifgan_haar_detect.argtypes = [
-            ctypes.c_void_p, c_dbl_p, ctypes.c_int, ctypes.c_int,
-            ctypes.c_double, ctypes.c_int, ctypes.c_double, ctypes.c_int,
-            np.ctypeslib.ndpointer(np.int32, flags="C,WRITEABLE"),
-            ctypes.c_int]
-        # replace inf padding (unreached node 1) with a huge finite value
-        thr = np.where(np.isfinite(cas.node_thr), cas.node_thr, 1e30)
-        self._keepalive = (
-            np.ascontiguousarray(cas.rects, np.float64),
-            np.ascontiguousarray(cas.node_feat, np.int32),
-            np.ascontiguousarray(thr, np.float64),
-            np.ascontiguousarray(cas.node_left, np.int32),
-            np.ascontiguousarray(cas.node_right, np.int32),
-            np.ascontiguousarray(cas.leaves, np.float64),
-            np.ascontiguousarray(cas.stage_first, np.int32),
-            np.ascontiguousarray(cas.stage_count, np.int32),
-            np.ascontiguousarray(cas.stage_thr, np.float64),
-        )
-        k = self._keepalive
-        self._handle = lib.gifgan_haar_create(
-            cas.window_w, cas.window_h, cas.rects.shape[0], k[0],
-            len(cas.node_feat), k[1], k[2], k[3], k[4], k[5],
-            len(cas.stage_thr), k[6], k[7], k[8])
+        self._lib, self._handle, self._keepalive = \
+            make_native_cascade_handle(self.cas)
 
     def __del__(self):
         handle = getattr(self, "_handle", None)

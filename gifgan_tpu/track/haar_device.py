@@ -19,12 +19,16 @@ window scoring"), built on three observations:
      gathers; the whole cascade becomes elementwise VPU arithmetic
      batched over frames.
 
-Execution is two dispatches per clip:
-  - dispatch 1: integral images + early stages for ALL windows x ALL
-    scales x ALL frames in one program -> alive bitmask; the ii/ii2
-    canvases stay device-resident (returned as jax arrays, not fetched);
-  - dispatch 2: the few survivors, padded to a bucket, run the deep stages
-    with per-window gathers on those canvases (hundreds of windows — cheap).
+Execution is ONE device dispatch + a host finisher per clip:
+  - dispatch: pyramid resize (separable matmuls) + integral images + early
+    stages for ALL windows x ALL scales x ALL frames in one gather-free
+    program -> alive bitmask;
+  - survivors (a few hundred, clustered around faces) finish on host via
+    the C++ early-exit evaluator (native/haarcascade.cpp
+    gifgan_haar_eval_windows) on host-recomputed level images — branchy
+    per-window work with ~30 features average, exactly the CPU's case. A
+    device gather formulation of this pass was measured first: 1.2 s per
+    4096-survivor bucket (TPU gathers), vs ~1 ms in C++.
 
 Semantics vs the feature-scaled backends (HaarDetector / NativeHaarDetector)
 differ exactly the way OpenCV's old-format path differs from its new-format
@@ -110,7 +114,7 @@ class DeviceHaarDetector:
     def __init__(self, cascade_path: str, scale_factor: float = 1.1,
                  min_neighbors: int = 3, min_size: int = 20,
                  max_size_factor: float = 1.0, early_stages: int = 10,
-                 stride: int = 1, deep_chunk: int = 4096):
+                 stride: int = 1):
         self.cas = parse_cascade(cascade_path)
         self.scale_factor = scale_factor
         self.min_neighbors = min_neighbors
@@ -118,7 +122,8 @@ class DeviceHaarDetector:
         self.max_size_factor = max_size_factor
         self.early_stages = min(early_stages, len(self.cas.stage_thr))
         self.stride = stride
-        self.deep_chunk = deep_chunk
+        self._deep_eval = None
+        self._native = None  # (lib, handle, keepalive) when in use
         # base-scale rects: _scaled_rects at 1.0 only re-derives the
         # first-rect weight from the others (exact, no rounding)
         self.rects0 = _scaled_rects(self.cas, 1.0)
@@ -127,7 +132,6 @@ class DeviceHaarDetector:
         self.ext_x = int(max(self.cas.window_w, ex.max()))
         self.ext_y = int(max(self.cas.window_h, ey.max()))
         self._progs: Dict[Tuple[int, int, int], tuple] = {}
-        self._deep_cache: Dict[int, object] = {}
 
     # -- program construction -------------------------------------------
 
@@ -187,9 +191,12 @@ class DeviceHaarDetector:
             return (corner(img, y0, x0) + corner(img, y0 + rh, x0 + rw)
                     - corner(img, y0, x0 + rw) - corner(img, y0 + rh, x0))
 
+        np_mats = [(_resize_matrix(h, lv.h).astype(np.float64),
+                    _resize_matrix(w, lv.w).astype(np.float64))
+                   for lv in levels]
         resize_mats = [
-            (jnp.asarray(_resize_matrix(h, lv.h)),
-             jnp.asarray(_resize_matrix(w, lv.w).T)) for lv in levels]
+            (jnp.asarray(mh, jnp.float32), jnp.asarray(mw.T, jnp.float32))
+            for mh, mw in np_mats]
 
         def program(grays):
             # grays: (T, h, w) float32 in [0, 255]
@@ -264,85 +271,57 @@ class DeviceHaarDetector:
                     total = total + jnp.where(go0, v_left, v_right)
                 alive = alive & (total >= float(cas.stage_thr[s]))
                 fcache.clear()
-            return alive, ii, ii2
+            return alive
 
         fn = jax.jit(program)
-        return fn, levels, ny, nx, valid, level_id
+        return fn, levels, ny, nx, valid, level_id, np_mats, canvas_h
 
-    # -- deep stages: padded gather over survivors -----------------------
+    # -- deep stages: host early-exit evaluator over survivors -----------
 
-    def _deep_fn(self, bucket: int):
-        import jax
-        import jax.numpy as jnp
+    def _host_deep(self):
+        """(level_img_f64, xs, ys) -> pass mask for stages
+        [early_stages, end) at base scale. C++ early-exit when the native
+        lib is built (~30 features average per window), numpy otherwise.
+        (A device gather formulation was measured at 1.2 s per 4096-window
+        bucket — TPU gathers — and removed.)"""
+        if self._deep_eval is not None:
+            return self._deep_eval
+        try:
+            from gifgan_tpu.track.haar import make_native_cascade_handle
 
-        if bucket in self._deep_cache:
-            return self._deep_cache[bucket]
-        cas = self.cas
-        lo, hi = self.early_stages, len(cas.stage_thr)
-        t0 = int(cas.stage_first[lo])
-        t1 = int(cas.stage_first[hi - 1] + cas.stage_count[hi - 1])
-        feats = np.unique(cas.node_feat[t0:t1].ravel())
-        fmap = np.full(cas.rects.shape[0], -1, np.int64)
-        fmap[feats] = np.arange(len(feats))
-        rs = self.rects0[feats]
-        rx = jnp.asarray(rs[:, :, 0], jnp.int32)
-        ry = jnp.asarray(rs[:, :, 1], jnp.int32)
-        rw = jnp.asarray(rs[:, :, 2], jnp.int32)
-        rh = jnp.asarray(rs[:, :, 3], jnp.int32)
-        wt = jnp.asarray(rs[:, :, 4], jnp.float32)
-        lf = jnp.asarray(fmap[cas.node_feat[t0:t1]])
-        thr = jnp.asarray(cas.node_thr[t0:t1], jnp.float32)
-        nl = jnp.asarray(cas.node_left[t0:t1])
-        nr = jnp.asarray(cas.node_right[t0:t1])
-        leaves = jnp.asarray(cas.leaves[t0:t1], jnp.float32)
-        ind = np.zeros((t1 - t0, hi - lo), np.float32)
-        for s in range(lo, hi):
-            a = int(cas.stage_first[s]) - t0
-            ind[a:a + int(cas.stage_count[s]), s - lo] = 1.0
-        stage_ind = jnp.asarray(ind)
-        stage_thr = jnp.asarray(cas.stage_thr[lo:hi], jnp.float32)
-        ww, wh = cas.window_w, cas.window_h
-        inv_area = 1.0 / (ww * wh)
+            lib, handle, keep = make_native_cascade_handle(self.cas)
+            if not hasattr(lib, "gifgan_haar_eval_windows"):
+                raise RuntimeError("native lib too old; rebuild")
+            self._native = (lib, handle, keep)
 
-        @jax.jit
-        def deep(ii, ii2, fi, ys, xs, valid):
-            s1 = (ii[fi, ys, xs] + ii[fi, ys + wh, xs + ww]
-                  - ii[fi, ys, xs + ww] - ii[fi, ys + wh, xs])
-            s2 = (ii2[fi, ys, xs] + ii2[fi, ys + wh, xs + ww]
-                  - ii2[fi, ys, xs + ww] - ii2[fi, ys + wh, xs])
-            mean = s1 * inv_area
-            var = s2 * inv_area - mean * mean
-            nf = jnp.where(var > 0, jnp.sqrt(jnp.maximum(var, 0.0)), 1.0)
-            # one gather set per rect slot: (B, F) index tensors keep the
-            # trailing dim lane-aligned — a (B, F, 3, 1) index tensor's
-            # forced TPU gather layout padded 42x (15 GB at bucket 16k)
-            fvals = None
-            f = fi[:, None]
-            for r in range(rx.shape[1]):
-                x1 = xs[:, None] + rx[None, :, r]
-                y1 = ys[:, None] + ry[None, :, r]
-                x2 = x1 + rw[None, :, r]
-                y2 = y1 + rh[None, :, r]
-                s = (ii[f, y1, x1] + ii[f, y2, x2]
-                     - ii[f, y1, x2] - ii[f, y2, x1]) * wt[None, :, r]
-                fvals = s if fvals is None else fvals + s
-            fvals = fvals * inv_area
-            f0 = fvals[:, lf[:, 0]]
-            f1 = fvals[:, lf[:, 1]]
-            nfc = nf[:, None]
-            child = jnp.where(f0 < thr[None, :, 0] * nfc, nl[None, :, 0],
-                              nr[None, :, 0])
-            leaf_n1 = jnp.where(f1 < thr[None, :, 1] * nfc, -nl[None, :, 1],
-                                -nr[None, :, 1])
-            leaf_idx = jnp.where(child <= 0, -child, leaf_n1)
-            vals = jnp.take_along_axis(
-                jnp.broadcast_to(leaves[None], (xs.shape[0],) + leaves.shape),
-                leaf_idx[:, :, None], axis=2)[:, :, 0]
-            stage_sums = vals @ stage_ind
-            return jnp.all(stage_sums >= stage_thr[None, :], axis=1) & valid
+            def ev(img, xs, ys):
+                g = np.ascontiguousarray(img, np.float64)
+                out = np.zeros(len(xs), np.uint8)
+                lib.gifgan_haar_eval_windows(
+                    handle, g, g.shape[0], g.shape[1],
+                    np.ascontiguousarray(xs, np.int32),
+                    np.ascontiguousarray(ys, np.int32),
+                    len(xs), int(self.early_stages), out)
+                return out.astype(bool)
+        except RuntimeError:
+            def ev(img, xs, ys):
+                ii, ii2 = integral_images(img)
+                return _eval_stages(
+                    self.cas, ii, ii2, np.asarray(xs, np.int64),
+                    np.asarray(ys, np.int64), 1.0, self.early_stages,
+                    len(self.cas.stage_thr), self.rects0)
+        self._deep_eval = ev
+        return ev
 
-        self._deep_cache[bucket] = deep
-        return deep
+    def __del__(self):
+        native = getattr(self, "_native", None)
+        if native:
+            lib, handle, _ = native
+            try:
+                lib.gifgan_haar_free(handle)
+            except Exception:
+                pass
+            self._native = None
 
     # -- public API ------------------------------------------------------
 
@@ -363,40 +342,38 @@ class DeviceHaarDetector:
         prog = self._progs[key]
         if prog is None:
             return [np.zeros((0, 4), np.int32) for _ in range(t)]
-        fn, levels, ny, nx, valid, level_id = prog
+        fn, levels, ny, nx, valid, level_id, np_mats, canvas_h = prog
 
-        alive, ii, ii2 = fn(jnp.asarray(grays, jnp.float32))
-        alive = np.asarray(alive)                      # (T, ny, nx) bool
-        fi, gy, gx = np.nonzero(alive)
+        alive = np.asarray(fn(jnp.asarray(grays, jnp.float32)))
+        fi, gy, gx = np.nonzero(alive)                 # (T, ny, nx) bool
         candidates: List[List[tuple]] = [[] for _ in range(t)]
         if len(fi):
             st = self.stride
-            n = len(fi)
-            bucket = min(1 << max(7, (n - 1).bit_length()), self.deep_chunk)
-            deep = self._deep_fn(bucket)
-            ok = np.zeros(n, bool)
-            for lo in range(0, n, bucket):
-                m = min(bucket, n - lo)
-                fip = np.zeros(bucket, np.int32)
-                ysp = np.zeros(bucket, np.int32)
-                xsp = np.zeros(bucket, np.int32)
-                vp = np.zeros(bucket, bool)
-                fip[:m] = fi[lo:lo + m]
-                ysp[:m] = gy[lo:lo + m] * st
-                xsp[:m] = gx[lo:lo + m] * st
-                vp[:m] = True
-                ok[lo:lo + m] = np.asarray(
-                    deep(ii, ii2, jnp.asarray(fip), jnp.asarray(ysp),
-                         jnp.asarray(xsp), jnp.asarray(vp)))[:m]
             cas = self.cas
-            for i in np.nonzero(ok)[0]:
-                lv = levels[level_id[gy[i], gx[i]]]
-                ly = gy[i] * st - lv.row
-                lx = gx[i] * st
-                candidates[fi[i]].append((
-                    int(round(lx * lv.scale)), int(round(ly * lv.scale)),
-                    int(round(cas.window_w * lv.scale)),
-                    int(round(cas.window_h * lv.scale))))
+            deep = self._host_deep()
+            lids = level_id[gy, gx]
+            # host image canvas mirroring the device row layout (level k's
+            # image at rows lv.row..lv.row+lh): rect sums are local, so one
+            # evaluator call per frame covers every scale — measured 0.3 ms
+            # x (frames x levels) ctypes/integral overhead otherwise
+            need_levels = np.unique(lids)
+            for fr in np.unique(fi):
+                sel = fi == fr
+                canvas = np.zeros((canvas_h, w), np.float64)
+                g64 = grays[fr].astype(np.float64)
+                for li in need_levels:
+                    lv = levels[li]
+                    mh, mw = np_mats[li]
+                    canvas[lv.row:lv.row + lv.h, :lv.w] = mh @ g64 @ mw.T
+                ok = deep(canvas, gx[sel] * st, gy[sel] * st)
+                for gyi, gxi in zip(gy[sel][ok], gx[sel][ok]):
+                    lv = levels[level_id[gyi, gxi]]
+                    lx = gxi * st
+                    ly = gyi * st - lv.row
+                    candidates[fr].append((
+                        int(round(lx * lv.scale)), int(round(ly * lv.scale)),
+                        int(round(cas.window_w * lv.scale)),
+                        int(round(cas.window_h * lv.scale))))
         return [group_rectangles(np.asarray(c, np.int64).reshape(-1, 4),
                                  self.min_neighbors) for c in candidates]
 

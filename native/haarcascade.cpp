@@ -262,4 +262,112 @@ int gifgan_haar_detect(void* handle, const double* gray, int h, int w,
   return n_out;
 }
 
+// Evaluate the cascade at base scale (1.0) for an explicit window list,
+// starting at stage_lo, with per-window early exit. Used as the host
+// "deep stage" finisher behind the TPU early-stage pass
+// (gifgan_tpu/track/haar_device.py): survivors are few and branchy — the
+// CPU's case. gray: (h, w) float64; xs/ys: n window origins; out_pass: n
+// bytes set to 0/1.
+void gifgan_haar_eval_windows(void* handle, const double* gray, int h, int w,
+                              const int* xs, const int* ys, int n,
+                              int stage_lo, uint8_t* out_pass) {
+  const Cascade& c = *static_cast<Cascade*>(handle);
+  const int sw = w + 1;
+  std::vector<double> ii(static_cast<size_t>(h + 1) * sw, 0.0);
+  std::vector<double> ii2(ii.size(), 0.0);
+  for (int y = 0; y < h; ++y) {
+    double row = 0.0, row2 = 0.0;
+    for (int x = 0; x < w; ++x) {
+      double v = gray[static_cast<size_t>(y) * w + x];
+      row += v;
+      row2 += v * v;
+      ii[static_cast<size_t>(y + 1) * sw + x + 1] =
+          ii[static_cast<size_t>(y) * sw + x + 1] + row;
+      ii2[static_cast<size_t>(y + 1) * sw + x + 1] =
+          ii2[static_cast<size_t>(y) * sw + x + 1] + row2;
+    }
+  }
+
+  // base-scale features: offsets from the raw rects (scale 1.0 rounding is
+  // exact), first weight rebalanced exactly like the scaled path
+  std::vector<ScaledFeature> feats(c.n_feats);
+  for (int f = 0; f < c.n_feats; ++f) {
+    const double* r = &c.rects[static_cast<size_t>(f) * 15];
+    ScaledFeature& sf = feats[f];
+    sf.n = 0;
+    double rest = 0.0;
+    long area0 = 1;
+    for (int k = 0; k < 3; ++k) {
+      double wgt = r[5 * k + 4];
+      long rx = std::lround(r[5 * k + 0]);
+      long ry = std::lround(r[5 * k + 1]);
+      long rw = std::lround(r[5 * k + 2]);
+      long rh = std::lround(r[5 * k + 3]);
+      if (k > 0 && wgt == 0.0) continue;
+      long o00 = ry * sw + rx;
+      sf.off[sf.n][0] = o00;
+      sf.off[sf.n][1] = o00 + rw;
+      sf.off[sf.n][2] = o00 + rh * sw;
+      sf.off[sf.n][3] = o00 + rh * sw + rw;
+      sf.weight[sf.n] = wgt;
+      long area = rw * rh;
+      if (k == 0) {
+        area0 = area > 0 ? area : 1;
+      } else {
+        rest += wgt * area;
+      }
+      ++sf.n;
+    }
+    sf.weight[0] = -rest / area0;
+  }
+
+  const double inv_area = 1.0 / (static_cast<double>(c.win_w) * c.win_h);
+  const long w_off_tr = c.win_w;
+  const long w_off_bl = static_cast<long>(c.win_h) * sw;
+  const long w_off_br = w_off_bl + c.win_w;
+
+  for (int i = 0; i < n; ++i) {
+    const long base = static_cast<long>(ys[i]) * sw + xs[i];
+    const double s1 = ii[base] + ii[base + w_off_br] - ii[base + w_off_tr] -
+                      ii[base + w_off_bl];
+    const double s2 = ii2[base] + ii2[base + w_off_br] -
+                      ii2[base + w_off_tr] - ii2[base + w_off_bl];
+    const double mean = s1 * inv_area;
+    const double var = s2 * inv_area - mean * mean;
+    const double nf = var > 0 ? std::sqrt(var) : 1.0;
+
+    bool alive = true;
+    for (int s = stage_lo; s < c.n_stages && alive; ++s) {
+      double total = 0.0;
+      const int a = c.stage_first[s];
+      const int b = a + c.stage_count[s];
+      for (int t = a; t < b; ++t) {
+        const ScaledFeature& f0 = feats[c.node_feat[2 * t]];
+        double v0 = 0.0;
+        for (int k = 0; k < f0.n; ++k)
+          v0 += f0.weight[k] * rect_sum(ii.data(), base, f0.off[k]);
+        v0 *= inv_area;
+        int child = (v0 < c.node_thr[2 * t] * nf) ? c.node_left[2 * t]
+                                                  : c.node_right[2 * t];
+        int leaf_idx;
+        if (child <= 0) {
+          leaf_idx = -child;
+        } else {
+          const ScaledFeature& f1 = feats[c.node_feat[2 * t + 1]];
+          double v1 = 0.0;
+          for (int k = 0; k < f1.n; ++k)
+            v1 += f1.weight[k] * rect_sum(ii.data(), base, f1.off[k]);
+          v1 *= inv_area;
+          leaf_idx = (v1 < c.node_thr[2 * t + 1] * nf)
+                         ? -c.node_left[2 * t + 1]
+                         : -c.node_right[2 * t + 1];
+        }
+        total += c.leaves[4 * t + leaf_idx];
+      }
+      alive = total >= c.stage_thr[s];
+    }
+    out_pass[i] = alive ? 1 : 0;
+  }
+}
+
 }  // extern "C"
