@@ -545,7 +545,8 @@ def cmd_explorer(args):
                         batch_size=args.batch_size)
     static = os.path.join(os.path.dirname(__file__), "serve", "static")
     print(f"explorer listening on {args.host}:{args.port}")
-    serve(core, host=args.host, port=args.port, static_dir=static)
+    serve(core, host=args.host, port=args.port, static_dir=static,
+          auth_token=args.auth_token)
 
 
 def cmd_webcam_serve(args):
@@ -560,7 +561,8 @@ def cmd_webcam_serve(args):
                             batch_size=args.batch_size)
     print(f"webcam service on {args.host}:{args.port} "
           f"({len(paths)} expression paths)")
-    serve(backend, host=args.host, port=args.port)
+    serve(backend, host=args.host, port=args.port,
+          auth_token=args.auth_token)
 
 
 def cmd_eval_track_rate(args):
@@ -838,6 +840,8 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--auth-token", default=None,
+                   help="require Authorization: Bearer <token> (or ?token=)")
     p.set_defaults(fn=cmd_explorer)
 
     p = sub.add_parser("webcam-serve", help="webcam demo HTTP service")
@@ -848,6 +852,8 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8081)
     p.add_argument("--num-steps", type=int, default=1200)
     p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--auth-token", default=None,
+                   help="require Authorization: Bearer <token> on /animate")
     p.set_defaults(fn=cmd_webcam_serve)
 
     p = sub.add_parser("eval-track-rate",

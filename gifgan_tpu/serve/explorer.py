@@ -297,7 +297,14 @@ class ExplorerCore:
 # stdlib HTTP adapter
 # ---------------------------------------------------------------------------
 
-def make_handler(core: ExplorerCore, static_dir: Optional[str] = None):
+def make_handler(core: ExplorerCore, static_dir: Optional[str] = None,
+                 auth_token: Optional[str] = None):
+    """auth_token: when set, every request must carry it as an
+    `Authorization: Bearer <token>` header or `?token=` query parameter
+    (constant-time compare); mismatches get 401. The reference explorer
+    (explorer.py:95-396) had no auth at all — this is the minimum for
+    exposing a GPU/TPU-backed sampler beyond localhost."""
+    import hmac
     from http.server import BaseHTTPRequestHandler
     from urllib.parse import parse_qs, urlparse
 
@@ -306,6 +313,17 @@ def make_handler(core: ExplorerCore, static_dir: Optional[str] = None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
+
+        def _authorized(self) -> bool:
+            if auth_token is None:
+                return True
+            hdr = self.headers.get("Authorization") or ""
+            if hdr.startswith("Bearer "):
+                cand = hdr[len("Bearer "):]
+            else:
+                q = parse_qs(urlparse(self.path).query)
+                cand = (q.get("token") or [""])[0]
+            return hmac.compare_digest(cand, auth_token)
 
         def _json(self, obj, code=200):
             body = json.dumps(obj).encode()
@@ -330,6 +348,9 @@ def make_handler(core: ExplorerCore, static_dir: Optional[str] = None):
             self.wfile.write(body)
 
         def _dispatch(self):
+            if not self._authorized():
+                return self._json({"response": "error",
+                                   "msg": "unauthorized"}, 401)
             with core_lock:
                 return self._dispatch_locked()
 
@@ -414,10 +435,12 @@ def make_handler(core: ExplorerCore, static_dir: Optional[str] = None):
 
 
 def serve(core: ExplorerCore, host: str = "127.0.0.1", port: int = 8080,
-          static_dir: Optional[str] = None, background: bool = False):
+          static_dir: Optional[str] = None, background: bool = False,
+          auth_token: Optional[str] = None):
     from http.server import ThreadingHTTPServer
 
-    server = ThreadingHTTPServer((host, port), make_handler(core, static_dir))
+    server = ThreadingHTTPServer(
+        (host, port), make_handler(core, static_dir, auth_token=auth_token))
     if background:
         t = threading.Thread(target=server.serve_forever, daemon=True)
         t.start()

@@ -170,14 +170,25 @@ def capture_face(frame_source, detector, expand_factor: float = 1.0,
 
 
 def serve(backend: WebcamBackend, host: str = "127.0.0.1", port: int = 8081,
-          background: bool = False):
-    """POST /animate with a PNG body; GET /health."""
+          background: bool = False, auth_token: str = None):
+    """POST /animate with a PNG body; GET /health. When auth_token is set,
+    /animate requires an `Authorization: Bearer <token>` header
+    (constant-time compare); /health stays open as a liveness probe."""
+    import hmac
+
     import imageio.v2 as imageio
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
             pass
+
+        def _authorized(self) -> bool:
+            if auth_token is None:
+                return True
+            hdr = self.headers.get("Authorization") or ""
+            cand = hdr[len("Bearer "):] if hdr.startswith("Bearer ") else ""
+            return hmac.compare_digest(cand, auth_token)
 
         def _json(self, obj, code=200):
             body = json.dumps(obj).encode()
@@ -195,6 +206,9 @@ def serve(backend: WebcamBackend, host: str = "127.0.0.1", port: int = 8081,
         def do_POST(self):
             if self.path != "/animate":
                 return self._json({"response": "error"}, 404)
+            if not self._authorized():
+                return self._json({"response": "error",
+                                   "msg": "unauthorized"}, 401)
             n = int(self.headers.get("Content-Length") or 0)
             data = self.rfile.read(n)
             try:
@@ -223,7 +237,8 @@ def serve(backend: WebcamBackend, host: str = "127.0.0.1", port: int = 8081,
 
 def animate_via_service(url: str, face_u8: np.ndarray,
                         out_dir: Optional[str] = None,
-                        timeout: float = 600.0) -> Dict:
+                        timeout: float = 600.0,
+                        auth_token: Optional[str] = None) -> Dict:
     """Client half of the demo: POST a face image to a running webcam
     service and (optionally) copy the artifacts locally — the HTTP
     replacement for the reference's scp/ssh round trip
@@ -236,8 +251,11 @@ def animate_via_service(url: str, face_u8: np.ndarray,
 
     buf = _io.BytesIO()
     imageio.imwrite(buf, face_u8, format="png")
+    headers = {"Content-Type": "image/png"}
+    if auth_token is not None:
+        headers["Authorization"] = f"Bearer {auth_token}"
     req = Request(url.rstrip("/") + "/animate", data=buf.getvalue(),
-                  headers={"Content-Type": "image/png"})
+                  headers=headers)
     with urlopen(req, timeout=timeout) as r:
         result = json.loads(r.read())
     if result.get("response") != "success":

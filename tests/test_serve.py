@@ -469,3 +469,75 @@ def test_result_carousel_cycles_and_exits(tmp_path):
     fake = _FakeCv2([], [ord("d"), ord("d"), ord("q")])  # next, next(wrap), quit
     shown = result_carousel([a, b], cv2_mod=fake)
     assert shown == [a, b]
+
+
+def test_explorer_auth_token(core):
+    """With auth_token set, requests without the token get 401; Bearer
+    header and ?token= both authorize (the reference's explorer had no
+    auth — this gates exposing a device-backed sampler beyond localhost)."""
+    server = serve(core, port=0, background=True, auth_token="s3cret")
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        try:
+            urllib.request.urlopen(base + "/test_success", timeout=10)
+            assert False, "expected 401"
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        req = urllib.request.Request(
+            base + "/test_success",
+            headers={"Authorization": "Bearer s3cret"})
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert json.loads(r.read())["response"] == "success"
+        with urllib.request.urlopen(
+                base + "/test_success?token=s3cret", timeout=10) as r:
+            assert json.loads(r.read())["response"] == "success"
+        try:
+            urllib.request.urlopen(
+                base + "/test_success?token=wrong", timeout=10)
+            assert False, "expected 401"
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+    finally:
+        server.shutdown()
+
+
+def test_webcam_service_auth_token(tmp_path, key):
+    import io
+
+    import imageio.v2 as imageio
+
+    from gifgan_tpu.serve.webcam import WebcamBackend
+    from gifgan_tpu.serve.webcam import serve as serve_webcam
+
+    cfg = DCGANConfig(output_size=32, c_dim=3, z_dim=Z, gf_dim=8, df_dim=8)
+    params, state = dcgan.init(key, cfg)
+    backend = WebcamBackend(params, state, cfg, str(tmp_path / "out"),
+                            steps=2, batch_size=2)
+    server = serve_webcam(backend, port=0, background=True,
+                          auth_token="tok")
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    face = np.random.default_rng(0).integers(
+        0, 255, (cfg.output_size, cfg.output_size, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    imageio.imwrite(buf, face, format="png")
+    try:
+        # health stays open
+        with urllib.request.urlopen(base + "/health", timeout=10) as r:
+            assert json.loads(r.read())["status"] == "ok"
+        # unauthorized animate -> 401
+        req = urllib.request.Request(base + "/animate", data=buf.getvalue(),
+                                     headers={"Content-Type": "image/png"})
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            assert False, "expected 401"
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        # authorized via the client helper
+        from gifgan_tpu.serve.webcam import animate_via_service
+
+        result = animate_via_service(base, face, auth_token="tok")
+        assert result["response"] == "success"
+    finally:
+        server.shutdown()
