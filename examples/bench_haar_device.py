@@ -24,6 +24,17 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+
+def _enable_compile_cache():
+    import jax
+
+    try:  # persist compiles across runs: the tunnel compile is minutes
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/gifgan_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 CASCADE = "/root/reference/demo/classifier_configs/haarcascade_frontalface_alt2.xml"
 FACES = "/root/reference/firebase/public/mturk/nested_dcgan_samples"
 
@@ -48,6 +59,7 @@ def main():
     ap.add_argument("--min-neighbors", type=int, default=2)
     args = ap.parse_args()
 
+    _enable_compile_cache()
     from gifgan_tpu.track.haar import NativeHaarDetector
     from gifgan_tpu.track.haar_device import DeviceHaarDetector
 

@@ -652,7 +652,24 @@ def cmd_bench(args):
                                  "bench.py")], check=True)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache for every CLI tool: a cold flagship
+    compile through the remote-compile tunnel is ~6 min, cached reloads are
+    seconds. Same config bench.py uses; GIFGAN_NO_COMPILE_CACHE=1 opts out."""
+    if os.environ.get("GIFGAN_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/gifgan_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
+    _enable_compile_cache()
     parser = argparse.ArgumentParser(prog="gifgan_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 

@@ -603,6 +603,13 @@ def make_native_cascade_handle(cas: HaarCascade):
             ctypes.c_void_p, c_dbl_p, ctypes.c_int, ctypes.c_int,
             c_int_p, c_int_p, ctypes.c_int, ctypes.c_int,
             np.ctypeslib.ndpointer(np.uint8, flags="C,WRITEABLE")]
+    if hasattr(lib, "gifgan_haar_eval_pyramid"):
+        lib.gifgan_haar_eval_pyramid.restype = None
+        lib.gifgan_haar_eval_pyramid.argtypes = [
+            ctypes.c_void_p, c_dbl_p, ctypes.c_int, ctypes.c_int,
+            c_int_p, c_int_p, c_int_p, ctypes.c_int, ctypes.c_int,
+            c_int_p, c_int_p, ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.uint8, flags="C,WRITEABLE")]
     # replace inf padding (unreached node 1) with a huge finite value
     thr = np.where(np.isfinite(cas.node_thr), cas.node_thr, 1e30)
     keepalive = (

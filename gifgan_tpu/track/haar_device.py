@@ -22,13 +22,20 @@ window scoring"), built on three observations:
 Execution is ONE device dispatch + a host finisher per clip:
   - dispatch: pyramid resize (separable matmuls) + integral images + early
     stages for ALL windows x ALL scales x ALL frames in one gather-free
-    program -> alive bitmask;
+    program -> bit-packed alive mask (8 bools/byte via a tiny matmul).
+    Input uploads as uint8 and the mask fetches at 1/8 size: the axon
+    relay moves ~35 MB/s, so shipping the raw (T, ny, nx) bool mask cost
+    287 ms/clip and the f32 frames 80 ms — more than the compute itself
+    (jnp.flatnonzero compaction was tried too: its 10M-element device
+    scatter cost ~140 ms);
   - survivors (a few hundred, clustered around faces) finish on host via
     the C++ early-exit evaluator (native/haarcascade.cpp
-    gifgan_haar_eval_windows) on host-recomputed level images — branchy
-    per-window work with ~30 features average, exactly the CPU's case. A
-    device gather formulation of this pass was measured first: 1.2 s per
-    4096-survivor bucket (TPU gathers), vs ~1 ms in C++.
+    gifgan_haar_eval_pyramid): it re-derives the level images with the
+    same separable triangle kernel, then runs the branchy per-window deep
+    stages (~30 features average) — exactly the CPU's case. A device
+    gather formulation of this pass was measured first: 1.2 s per
+    4096-survivor bucket (TPU gathers), vs ~1 ms in C++; the numpy-matmul
+    canvas rebuild it replaced cost 215 ms/clip.
 
 Semantics vs the feature-scaled backends (HaarDetector / NativeHaarDetector)
 differ exactly the way OpenCV's old-format path differs from its new-format
@@ -105,6 +112,66 @@ def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
     return out
 
 
+def _unrolled_stages(cas: HaarCascade, rects: np.ndarray, rect_grid,
+                     nf, alive, n_stages: int, cache: bool = True):
+    """The cascade's first `n_stages` stages as fully unrolled elementwise
+    arithmetic over a window grid. `rect_grid(x0, y0, rw, rh)` returns the
+    rect sum at every grid origin; children codes and thresholds are
+    compile-time scalars, so each depth-2 tree is pure selects — no table
+    gathers. Shared by the XLA whole-clip program and the Pallas band
+    kernel (`cache=False` there: intermediate reuse would spill VMEM)."""
+    import jax.numpy as jnp
+
+    inv_area = 1.0 / (cas.window_w * cas.window_h)
+    fcache: Dict[int, object] = {}
+
+    def fval(fi: int):
+        if cache and fi in fcache:
+            return fcache[fi]
+        acc = None
+        for r in range(3):
+            x0, y0, rw, rh, wt = rects[fi, r]
+            if wt == 0.0:
+                continue
+            g = rect_grid(int(x0), int(y0), int(rw), int(rh)) * float(wt)
+            acc = g if acc is None else acc + g
+        out = acc * inv_area
+        if cache:
+            fcache[fi] = out
+        return out
+
+    for s in range(n_stages):
+        a = int(cas.stage_first[s])
+        b = a + int(cas.stage_count[s])
+        total = None
+        for tr in range(a, b):
+            f0 = fval(int(cas.node_feat[tr, 0]))
+            go0 = f0 < float(cas.node_thr[tr, 0]) * nf
+            l0, r0 = int(cas.node_left[tr, 0]), int(cas.node_right[tr, 0])
+            node1 = None
+
+            def node1_val():
+                nonlocal node1
+                if node1 is None:
+                    f1 = fval(int(cas.node_feat[tr, 1]))
+                    go1 = f1 < float(cas.node_thr[tr, 1]) * nf
+                    node1 = jnp.where(
+                        go1,
+                        float(cas.leaves[tr][-int(cas.node_left[tr, 1])]),
+                        float(cas.leaves[tr][-int(cas.node_right[tr, 1])]))
+                return node1
+
+            v_left = (float(cas.leaves[tr][-l0]) if l0 <= 0
+                      else node1_val())
+            v_right = (float(cas.leaves[tr][-r0]) if r0 <= 0
+                       else node1_val())
+            t_val = jnp.where(go0, v_left, v_right)
+            total = t_val if total is None else total + t_val
+        alive = alive & (total >= float(cas.stage_thr[s]))
+        fcache.clear()
+    return alive
+
+
 class DeviceHaarDetector:
     """detectMultiScale-equivalent detector; all scales and frames of a clip
     evaluated in one gather-free device program. Exposes the same
@@ -114,7 +181,7 @@ class DeviceHaarDetector:
     def __init__(self, cascade_path: str, scale_factor: float = 1.1,
                  min_neighbors: int = 3, min_size: int = 20,
                  max_size_factor: float = 1.0, early_stages: int = 10,
-                 stride: int = 1):
+                 stride: int = 1, use_pallas: bool = None):
         self.cas = parse_cascade(cascade_path)
         self.scale_factor = scale_factor
         self.min_neighbors = min_neighbors
@@ -122,6 +189,11 @@ class DeviceHaarDetector:
         self.max_size_factor = max_size_factor
         self.early_stages = min(early_stages, len(self.cas.stage_thr))
         self.stride = stride
+        # use_pallas=True opts into the Pallas band kernel for the early
+        # stages (stride 1 only); default is the XLA strided-slice
+        # formulation — see the note in _build_program
+        self.use_pallas = use_pallas
+        self._pallas_interpret = False   # tests: run the kernel on CPU
         self._deep_eval = None
         self._native = None  # (lib, handle, keepalive) when in use
         # base-scale rects: _scaled_rects at 1.0 only re-derives the
@@ -198,8 +270,29 @@ class DeviceHaarDetector:
             (jnp.asarray(mh, jnp.float32), jnp.asarray(mw.T, jnp.float32))
             for mh, mw in np_mats]
 
-        def program(grays):
-            # grays: (T, h, w) float32 in [0, 255]
+        # default OFF: the band kernel is correct (interpret-tested vs the
+        # XLA path) and its slab DMA removes the XLA formulation's ~44 MB
+        # HBM pass per corner slice, but Mosaic could not compile the
+        # ~230-tree unrolled body in practical time through the
+        # remote-compile tunnel (>35 min, killed; a trivial DMA kernel
+        # compiles in seconds). Opt in with use_pallas=True.
+        use_pallas = bool(self.use_pallas) and st == 1
+        if use_pallas:
+            # Mosaic HBM slices must align to the (8, 128) f32 tiling:
+            # band offsets/heights to 8 sublanes, slab width to 128 lanes
+            band_h = min(512, -(-ny // 8) * 8)
+            nbands = -(-ny // band_h)
+            ey_pad = -(-self.ext_y // 8) * 8
+            cw_pad = -(-canvas_w // 128) * 128
+            stage_call = self._build_stage_kernel(
+                t, ny, nx, cw_pad, valid, band_h, nbands, ey_pad)
+        else:
+            band_h = nbands = stage_call = ey_pad = cw_pad = None
+
+        def program(grays_u8):
+            # grays_u8: (T, h, w) uint8 — cast on device; the u8 upload is
+            # 4x smaller than f32 over the ~35 MB/s relay
+            grays = grays_u8.astype(jnp.float32)
             blocks_ii, blocks_ii2 = [], []
             for lv, (mh, mw) in zip(levels, resize_mats):
                 g = jnp.einsum("ah,thw,wb->tab", mh, grays, mw)
@@ -217,95 +310,172 @@ class DeviceHaarDetector:
             ii = jnp.concatenate(blocks_ii + [zpad], axis=1)
             ii2 = jnp.concatenate(blocks_ii2 + [zpad], axis=1)
 
-            # window variance-normalization factor over the grid
-            s1 = rect_grid(ii, 0, 0, ww, wh)
-            s2 = rect_grid(ii2, 0, 0, ww, wh)
-            mean = s1 * inv_area
-            var = s2 * inv_area - mean * mean
-            nf = jnp.where(var > 0, jnp.sqrt(jnp.maximum(var, 0.0)), 1.0)
-
-            # early stages, elementwise over (T, ny, nx)
-            alive = jnp.broadcast_to(valid_j, (t, ny, nx))
-            fcache: Dict[int, jax.Array] = {}
-
-            def fval(fi: int):
-                if fi not in fcache:
-                    acc = None
-                    for r in range(3):
-                        x0, y0, rw, rh, wt = rects[fi, r]
-                        if wt == 0.0:
-                            continue
-                        g = rect_grid(ii, int(x0), int(y0), int(rw),
-                                      int(rh)) * float(wt)
-                        acc = g if acc is None else acc + g
-                    fcache[fi] = acc * inv_area
-                return fcache[fi]
-
-            for s in range(self.early_stages):
-                a = int(cas.stage_first[s])
-                b = a + int(cas.stage_count[s])
-                total = jnp.zeros((t, ny, nx), jnp.float32)
-                for tr in range(a, b):
-                    # children codes are per-tree compile-time scalars, so
-                    # the depth-2 tree is pure selects — no table gather
-                    f0 = fval(int(cas.node_feat[tr, 0]))
-                    go0 = f0 < float(cas.node_thr[tr, 0]) * nf
-                    l0, r0 = int(cas.node_left[tr, 0]), int(cas.node_right[tr, 0])
-                    node1 = None
-
-                    def node1_val():
-                        nonlocal node1
-                        if node1 is None:
-                            f1 = fval(int(cas.node_feat[tr, 1]))
-                            go1 = f1 < float(cas.node_thr[tr, 1]) * nf
-                            node1 = jnp.where(
-                                go1,
-                                float(cas.leaves[tr][-int(cas.node_left[tr, 1])]),
-                                float(cas.leaves[tr][-int(cas.node_right[tr, 1])]))
-                        return node1
-
-                    v_left = (float(cas.leaves[tr][-l0]) if l0 <= 0
-                              else node1_val())
-                    v_right = (float(cas.leaves[tr][-r0]) if r0 <= 0
-                               else node1_val())
-                    total = total + jnp.where(go0, v_left, v_right)
-                alive = alive & (total >= float(cas.stage_thr[s]))
-                fcache.clear()
-            return alive
+            if use_pallas:
+                # the band kernel reads slabs of rows [b*BH, b*BH+SH); pad
+                # the canvases so every slab DMA is in-bounds and aligned
+                h_pad = nbands * band_h + ey_pad
+                ii = jnp.pad(ii, ((0, 0), (0, h_pad - canvas_h),
+                                  (0, cw_pad - canvas_w)))
+                ii2 = jnp.pad(ii2, ((0, 0), (0, h_pad - canvas_h),
+                                    (0, cw_pad - canvas_w)))
+                alive = stage_call(ii, ii2)[:, :ny, :] != 0
+            else:
+                # window variance-normalization factor over the grid
+                s1 = rect_grid(ii, 0, 0, ww, wh)
+                s2 = rect_grid(ii2, 0, 0, ww, wh)
+                mean = s1 * inv_area
+                var = s2 * inv_area - mean * mean
+                nf = jnp.where(var > 0, jnp.sqrt(jnp.maximum(var, 0.0)),
+                               1.0)
+                alive = _unrolled_stages(
+                    cas, rects,
+                    lambda x0, y0, rw, rh: rect_grid(ii, x0, y0, rw, rh),
+                    nf, jnp.broadcast_to(valid_j, (t, ny, nx)),
+                    self.early_stages)
+            # bit-pack the mask on device (8 bools -> 1 byte via a tiny
+            # matmul; np.unpackbits-compatible big bit order): the relay
+            # moves ~35 MB/s, so the raw bool mask cost 287 ms to fetch.
+            # jnp.flatnonzero(size=cap) was tried first: its 10M-element
+            # scatter burned ~140 ms on device — worse than shipping bits.
+            flat = alive.reshape(-1)
+            pad = (-flat.size) % 8
+            fpad = jnp.pad(flat, (0, pad))
+            bit_w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.float32)
+            packed = (fpad.reshape(-1, 8).astype(jnp.float32)
+                      @ bit_w).astype(jnp.uint8)
+            return packed
 
         fn = jax.jit(program)
         return fn, levels, ny, nx, valid, level_id, np_mats, canvas_h
 
+    def _build_stage_kernel(self, t: int, ny: int, nx: int, canvas_w: int,
+                            valid: np.ndarray, band_h: int, nbands: int,
+                            ey_pad: int):
+        """Pallas early-stage kernel: grid (frame, row band); each program
+        DMAs an overlapping (band_h + ext_y, canvas_w) ii/ii2 slab from HBM
+        into VMEM and runs the unrolled stages as in-VMEM elementwise
+        arithmetic. The XLA formulation left each corner slice as a
+        separate ~44 MB HBM pass (~120 ms/clip at 16x256px); here the
+        slabs are read once (~1 MB x 2 per band)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        cas = self.cas
+        rects = self.rects0
+        sh = band_h + ey_pad   # 8-aligned slab height (halo >= ext_y)
+        ww, wh = cas.window_w, cas.window_h
+        inv_area = 1.0 / (ww * wh)
+        n_early = self.early_stages
+        valid_pad = np.zeros((nbands * band_h, nx), np.int8)
+        valid_pad[:ny] = valid[:ny].astype(np.int8)
+        valid_pad = jnp.asarray(valid_pad)
+
+        def kernel(valid_ref, ii_hbm, ii2_hbm, out_ref):
+            fi = pl.program_id(0)
+            b = pl.program_id(1)
+
+            def body(s1ref, s2ref, sem):
+                row0 = b * band_h
+                cp1 = pltpu.make_async_copy(
+                    ii_hbm.at[fi, pl.ds(row0, sh), :], s1ref, sem.at[0])
+                cp2 = pltpu.make_async_copy(
+                    ii2_hbm.at[fi, pl.ds(row0, sh), :], s2ref, sem.at[1])
+                cp1.start()
+                cp2.start()
+                cp1.wait()
+                cp2.wait()
+
+                def rect(ref, x0, y0, rw, rh):
+                    return (ref[y0:y0 + band_h, x0:x0 + nx]
+                            + ref[y0 + rh:y0 + rh + band_h,
+                                  x0 + rw:x0 + rw + nx]
+                            - ref[y0:y0 + band_h, x0 + rw:x0 + rw + nx]
+                            - ref[y0 + rh:y0 + rh + band_h, x0:x0 + nx])
+
+                s1 = rect(s1ref, 0, 0, ww, wh)
+                s2 = rect(s2ref, 0, 0, ww, wh)
+                mean = s1 * inv_area
+                var = s2 * inv_area - mean * mean
+                nf = jnp.where(var > 0, jnp.sqrt(jnp.maximum(var, 0.0)),
+                               1.0)
+                alive = _unrolled_stages(
+                    cas, rects,
+                    lambda x0, y0, rw, rh: rect(s1ref, x0, y0, rw, rh),
+                    nf, valid_ref[:] != 0, n_early, cache=False)
+                out_ref[0] = alive.astype(jnp.int8)
+
+            pl.run_scoped(
+                body,
+                pltpu.VMEM((sh, canvas_w), jnp.float32),
+                pltpu.VMEM((sh, canvas_w), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)))
+
+        call = pl.pallas_call(
+            kernel,
+            grid=(t, nbands),
+            in_specs=[
+                pl.BlockSpec((band_h, nx), lambda fi, b: (b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, band_h, nx),
+                                   lambda fi, b: (fi, b, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((t, nbands * band_h, nx),
+                                           jnp.int8),
+            # the unrolled ~230-tree body's live temporaries exceed the
+            # compiler's conservative 16 MB scoped-VMEM default
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=self._pallas_interpret,
+        )
+
+        return lambda ii, ii2: call(valid_pad, ii, ii2)
+
     # -- deep stages: host early-exit evaluator over survivors -----------
 
     def _host_deep(self):
-        """(level_img_f64, xs, ys) -> pass mask for stages
-        [early_stages, end) at base scale. C++ early-exit when the native
-        lib is built (~30 features average per window), numpy otherwise.
-        (A device gather formulation was measured at 1.2 s per 4096-window
-        bucket — TPU gathers — and removed.)"""
+        """(gray_f64, xs, ys, need_levels, levels, np_mats, canvas_h, w) ->
+        pass mask for stages [early_stages, end) over survivor windows in
+        canvas coordinates. The C++ path (native/haarcascade.cpp
+        gifgan_haar_eval_pyramid) resamples the needed pyramid levels with
+        the same triangle kernel as the device program and early-exits per
+        window (~30 features average); the numpy fallback rebuilds the
+        canvas by matmul. (A device gather formulation was measured at
+        1.2 s per 4096-window bucket — TPU gathers — and removed.)"""
         if self._deep_eval is not None:
             return self._deep_eval
         try:
             from gifgan_tpu.track.haar import make_native_cascade_handle
 
             lib, handle, keep = make_native_cascade_handle(self.cas)
-            if not hasattr(lib, "gifgan_haar_eval_windows"):
+            if not hasattr(lib, "gifgan_haar_eval_pyramid"):
                 raise RuntimeError("native lib too old; rebuild")
             self._native = (lib, handle, keep)
 
-            def ev(img, xs, ys):
-                g = np.ascontiguousarray(img, np.float64)
+            def ev(g64, xs, ys, need, levels, np_mats, canvas_h, w):
+                lh = np.asarray([levels[li].h for li in need], np.int32)
+                lw = np.asarray([levels[li].w for li in need], np.int32)
+                lrow = np.asarray([levels[li].row for li in need], np.int32)
                 out = np.zeros(len(xs), np.uint8)
-                lib.gifgan_haar_eval_windows(
-                    handle, g, g.shape[0], g.shape[1],
-                    np.ascontiguousarray(xs, np.int32),
-                    np.ascontiguousarray(ys, np.int32),
-                    len(xs), int(self.early_stages), out)
+                lib.gifgan_haar_eval_pyramid(
+                    handle, np.ascontiguousarray(g64, np.float64),
+                    g64.shape[0], g64.shape[1], lh, lw, lrow, len(need),
+                    int(canvas_h), np.ascontiguousarray(xs, np.int32),
+                    np.ascontiguousarray(ys, np.int32), len(xs),
+                    int(self.early_stages), out)
                 return out.astype(bool)
         except RuntimeError:
-            def ev(img, xs, ys):
-                ii, ii2 = integral_images(img)
+            def ev(g64, xs, ys, need, levels, np_mats, canvas_h, w):
+                canvas = np.zeros((canvas_h, w), np.float64)
+                for li in need:
+                    lv = levels[li]
+                    mh, mw = np_mats[li]
+                    canvas[lv.row:lv.row + lv.h, :lv.w] = mh @ g64 @ mw.T
+                ii, ii2 = integral_images(canvas)
                 return _eval_stages(
                     self.cas, ii, ii2, np.asarray(xs, np.int64),
                     np.asarray(ys, np.int64), 1.0, self.early_stages,
@@ -344,28 +514,27 @@ class DeviceHaarDetector:
             return [np.zeros((0, 4), np.int32) for _ in range(t)]
         fn, levels, ny, nx, valid, level_id, np_mats, canvas_h = prog
 
-        alive = np.asarray(fn(jnp.asarray(grays, jnp.float32)))
-        fi, gy, gx = np.nonzero(alive)                 # (T, ny, nx) bool
+        rounded = np.clip(np.rint(grays), 0, 255).astype(np.uint8)
+        packed = np.asarray(fn(jnp.asarray(rounded)))
+        flat = np.unpackbits(packed)[:t * ny * nx]
+        idx = np.flatnonzero(flat)
+        fi, rem = np.divmod(idx, ny * nx)              # flat -> (T, ny, nx)
+        gy, gx = np.divmod(rem, nx)
         candidates: List[List[tuple]] = [[] for _ in range(t)]
         if len(fi):
             st = self.stride
             cas = self.cas
             deep = self._host_deep()
             lids = level_id[gy, gx]
-            # host image canvas mirroring the device row layout (level k's
-            # image at rows lv.row..lv.row+lh): rect sums are local, so one
-            # evaluator call per frame covers every scale — measured 0.3 ms
-            # x (frames x levels) ctypes/integral overhead otherwise
+            # one finisher call per frame covers every scale: the canvas
+            # mirrors the device row layout (level k's image at rows
+            # lv.row..lv.row+lv.h) so rect sums stay block-local
             need_levels = np.unique(lids)
             for fr in np.unique(fi):
                 sel = fi == fr
-                canvas = np.zeros((canvas_h, w), np.float64)
-                g64 = grays[fr].astype(np.float64)
-                for li in need_levels:
-                    lv = levels[li]
-                    mh, mw = np_mats[li]
-                    canvas[lv.row:lv.row + lv.h, :lv.w] = mh @ g64 @ mw.T
-                ok = deep(canvas, gx[sel] * st, gy[sel] * st)
+                ok = deep(rounded[fr].astype(np.float64), gx[sel] * st,
+                          gy[sel] * st, need_levels, levels, np_mats,
+                          canvas_h, w)
                 for gyi, gxi in zip(gy[sel][ok], gx[sel][ok]):
                     lv = levels[level_id[gyi, gxi]]
                     lx = gxi * st

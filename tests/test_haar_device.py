@@ -125,3 +125,45 @@ def test_detect_video_returns_detections():
     assert len(dets) == 2
     assert all(d.frame_number == i for i, lst in enumerate(dets) for d in lst)
     assert sum(len(lst) for lst in dets) >= 2
+
+
+@needs_data
+def test_pallas_band_kernel_matches_xla_path():
+    """The Pallas early-stage band kernel (interpret mode on CPU) must
+    produce identical detections to the XLA strided-slice formulation —
+    same math, different scheduling."""
+    grays = _load_clip(t=2, rep=2)
+    d_xla = DeviceHaarDetector(_cascade_path(), min_neighbors=2,
+                               use_pallas=False)
+    d_pl = DeviceHaarDetector(_cascade_path(), min_neighbors=2,
+                              use_pallas=True)
+    d_pl._pallas_interpret = True
+    r_xla = d_xla.detect_batch(grays)
+    r_pl = d_pl.detect_batch(grays)
+    assert len(r_xla) == len(r_pl)
+    for a, b in zip(r_xla, r_pl):
+        assert np.array_equal(a, b), (a, b)
+
+
+@needs_data
+def test_cpp_pyramid_finisher_matches_numpy_fallback(monkeypatch):
+    """gifgan_haar_eval_pyramid (C++ separable triangle resample + early-exit
+    deep stages) must produce identical detections to the numpy canvas
+    fallback — the resampler is a bit-exact port of _resize_matrix."""
+    import gifgan_tpu.track.haar as haar_mod
+
+    grays = _load_clip(t=2, rep=2)
+    d_native = DeviceHaarDetector(_cascade_path(), min_neighbors=2)
+    r_native = d_native.detect_batch(grays)
+    if d_native._native is None:
+        pytest.skip("native lib not built")
+
+    def no_native(cas):
+        raise RuntimeError("forced fallback")
+
+    monkeypatch.setattr(haar_mod, "make_native_cascade_handle", no_native)
+    d_numpy = DeviceHaarDetector(_cascade_path(), min_neighbors=2)
+    r_numpy = d_numpy.detect_batch(grays)
+    assert d_numpy._native is None
+    for a, b in zip(r_native, r_numpy):
+        assert np.array_equal(a, b), (a, b)
