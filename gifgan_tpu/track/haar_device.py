@@ -348,22 +348,84 @@ class DeviceHaarDetector:
         fn = jax.jit(program)
         return fn, levels, ny, nx, valid, level_id, np_mats, canvas_h
 
+    def _cascade_params_rolled(self, n_early: int):
+        """Flat per-tree parameter arrays for the rolled kernel: geometry
+        (x0, y0, rw, rh) and weight per rect per node, node thresholds,
+        the four possible leaf values, and leaf-vs-subtree flags for node
+        0's children. Absent rects/nodes get zero weights/thresholds so the
+        uniform per-tree arithmetic evaluates to the right value."""
+        cas = self.cas
+        rects = self.rects0
+        n_trees = int(cas.stage_first[n_early - 1]
+                      + cas.stage_count[n_early - 1])
+        geo = np.zeros((n_trees, 2, 3, 4), np.int32)
+        wts = np.zeros((n_trees, 2, 3), np.float32)
+        thr = np.zeros((n_trees, 2), np.float32)
+        leaf = np.zeros((n_trees, 4), np.float32)  # L0, R0, n1L, n1R
+        flg = np.zeros((n_trees, 2), np.float32)   # node0 child is leaf?
+        # stage bookkeeping for the single rolled loop: after the last
+        # tree of each stage, compare the running total to stage_thr and
+        # reset it — one fori_loop over all trees instead of one per
+        # stage (compile time scales with loop-body count)
+        is_last = np.zeros((n_trees,), np.float32)
+        sthr = np.zeros((n_trees,), np.float32)
+        for s in range(n_early):
+            e = int(cas.stage_first[s] + cas.stage_count[s]) - 1
+            is_last[e] = 1.0
+            sthr[e] = cas.stage_thr[s]
+        for tr in range(n_trees):
+            l0 = int(cas.node_left[tr, 0])
+            r0 = int(cas.node_right[tr, 0])
+            flg[tr, 0] = 1.0 if l0 <= 0 else 0.0
+            flg[tr, 1] = 1.0 if r0 <= 0 else 0.0
+            if l0 <= 0:
+                leaf[tr, 0] = cas.leaves[tr][-l0]
+            if r0 <= 0:
+                leaf[tr, 1] = cas.leaves[tr][-r0]
+            nodes = [0]
+            thr[tr, 0] = cas.node_thr[tr, 0]
+            if l0 > 0 or r0 > 0:
+                nodes.append(1)
+                thr[tr, 1] = cas.node_thr[tr, 1]
+                leaf[tr, 2] = cas.leaves[tr][-int(cas.node_left[tr, 1])]
+                leaf[tr, 3] = cas.leaves[tr][-int(cas.node_right[tr, 1])]
+            for n in nodes:
+                fid = int(cas.node_feat[tr, n])
+                for r in range(3):
+                    x0, y0, rw, rh, wt = rects[fid, r]
+                    if wt == 0.0:
+                        continue
+                    geo[tr, n, r] = (int(x0), int(y0), int(rw), int(rh))
+                    wts[tr, n, r] = wt
+        # pack each rect's (x0, y0, rw, rh) into one int32 (5 bits each):
+        # SMEM capacity is ~1 MB with heavy per-element overhead — the
+        # unpacked (N, 2, 3, 4) array alone blew it
+        assert geo.max() < 32, geo.max()
+        pgeo = (geo[..., 0] | (geo[..., 1] << 5) | (geo[..., 2] << 10)
+                | (geo[..., 3] << 15)).astype(np.int32)
+        return n_trees, pgeo, wts, thr, leaf, flg, is_last, sthr
+
     def _build_stage_kernel(self, t: int, ny: int, nx: int, canvas_w: int,
                             valid: np.ndarray, band_h: int, nbands: int,
                             ey_pad: int):
         """Pallas early-stage kernel: grid (frame, row band); each program
-        DMAs an overlapping (band_h + ext_y, canvas_w) ii/ii2 slab from HBM
-        into VMEM and runs the unrolled stages as in-VMEM elementwise
-        arithmetic. The XLA formulation left each corner slice as a
+        DMAs an overlapping (band_h + halo, canvas_w) ii/ii2 slab from HBM
+        into VMEM and evaluates the cascade stages as in-VMEM elementwise
+        arithmetic. The XLA formulation leaves each corner slice as a
         separate ~44 MB HBM pass (~120 ms/clip at 16x256px); here the
-        slabs are read once (~1 MB x 2 per band)."""
+        slabs are read once (~1 MB x 2 per band).
+
+        The tree loop is ROLLED (lax.fori_loop over trees, per-tree
+        geometry/thresholds/leaves as SMEM scalar arrays, dynamic VMEM
+        slices for the rect corners): a fully unrolled ~230-tree body is
+        bit-identical but Mosaic could not compile it in practical time
+        (>35 min; see docs/PROFILE.md round 3)."""
         import jax
         import jax.numpy as jnp
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
         cas = self.cas
-        rects = self.rects0
         sh = band_h + ey_pad   # 8-aligned slab height (halo >= ext_y)
         ww, wh = cas.window_w, cas.window_h
         inv_area = 1.0 / (ww * wh)
@@ -371,8 +433,11 @@ class DeviceHaarDetector:
         valid_pad = np.zeros((nbands * band_h, nx), np.int8)
         valid_pad[:ny] = valid[:ny].astype(np.int8)
         valid_pad = jnp.asarray(valid_pad)
+        n_trees, geo, wts, thr, leaf, flg, is_last, sthr = \
+            self._cascade_params_rolled(n_early)
 
-        def kernel(valid_ref, ii_hbm, ii2_hbm, out_ref):
+        def kernel(geo_s, wts_s, thr_s, leaf_s, flg_s, last_s, sthr_s,
+                   valid_ref, ii_hbm, ii2_hbm, out_ref):
             fi = pl.program_id(0)
             b = pl.program_id(1)
 
@@ -387,24 +452,97 @@ class DeviceHaarDetector:
                 cp1.wait()
                 cp2.wait()
 
-                def rect(ref, x0, y0, rw, rh):
+                def srect(ref, x0, y0, rw, rh):
+                    # static offsets: plain slices
                     return (ref[y0:y0 + band_h, x0:x0 + nx]
                             + ref[y0 + rh:y0 + rh + band_h,
                                   x0 + rw:x0 + rw + nx]
                             - ref[y0:y0 + band_h, x0 + rw:x0 + rw + nx]
                             - ref[y0 + rh:y0 + rh + band_h, x0:x0 + nx])
 
-                s1 = rect(s1ref, 0, 0, ww, wh)
-                s2 = rect(s2ref, 0, 0, ww, wh)
+                s1 = srect(s1ref, 0, 0, ww, wh)
+                s2 = srect(s2ref, 0, 0, ww, wh)
                 mean = s1 * inv_area
                 var = s2 * inv_area - mean * mean
                 nf = jnp.where(var > 0, jnp.sqrt(jnp.maximum(var, 0.0)),
                                1.0)
-                alive = _unrolled_stages(
-                    cas, rects,
-                    lambda x0, y0, rw, rh: rect(s1ref, x0, y0, rw, rh),
-                    nf, valid_ref[:] != 0, n_early, cache=False)
-                out_ref[0] = alive.astype(jnp.int8)
+
+                # dynamic (per-tree, SMEM-read) offsets: Mosaic rejects
+                # dynamic sublane/lane slice starts ("cannot statically
+                # prove index is a multiple of 8"), so shift via
+                # pltpu.roll with a NON-NEGATIVE shift (roll(v, s)[i] =
+                # v[(i - s) mod n]; negative dynamic shifts misbehave)
+                # and slice statically. Row-difference first so each rect
+                # sum is 4 rolls + 2 subtractions.
+                v1 = s1ref[:]
+
+                def roll_to(v, off, size, axis):
+                    return pltpu.roll(
+                        v, jnp.where(off > 0, size - off, 0), axis)
+
+                def rect_dyn(x0, y0, rw, rh):
+                    rd = (roll_to(v1, y0 + rh, sh, 0)
+                          - roll_to(v1, y0, sh, 0))
+                    out = (roll_to(rd, x0 + rw, canvas_w, 1)
+                           - roll_to(rd, x0, canvas_w, 1))
+                    return out[0:band_h, 0:nx]
+
+                zgrid = jnp.zeros((band_h, nx), jnp.float32)
+
+                def feature(tr, n):
+                    # rects 0/1 always exist; rect 2 is rare — predicate
+                    # its 4 rolls on the weight (scalar cond, ~1/3 fewer
+                    # rolls on 2-rect features)
+                    f = None
+                    for r in range(2):
+                        p = geo_s[tr, n, r]
+                        x0 = p & 31
+                        y0 = (p >> 5) & 31
+                        rw = (p >> 10) & 31
+                        rh = (p >> 15) & 31
+                        g = rect_dyn(x0, y0, rw, rh) * wts_s[tr, n, r]
+                        f = g if f is None else f + g
+
+                    def rect2():
+                        p = geo_s[tr, n, 2]
+                        return rect_dyn(p & 31, (p >> 5) & 31,
+                                        (p >> 10) & 31,
+                                        (p >> 15) & 31) * wts_s[tr, n, 2]
+
+                    f = f + jax.lax.cond(wts_s[tr, n, 2] != 0.0, rect2,
+                                         lambda: zgrid)
+                    return f * inv_area
+
+                def tree_body(tr, carry):
+                    total, alive_f = carry
+                    f0 = feature(tr, 0)
+                    # stumps (both node-0 children are leaves) skip node 1
+                    # entirely — most early-stage trees
+                    f1 = jax.lax.cond(
+                        flg_s[tr, 0] + flg_s[tr, 1] < 2.0,
+                        lambda: feature(tr, 1), lambda: zgrid)
+                    n1 = jnp.where(f1 < thr_s[tr, 1] * nf,
+                                   leaf_s[tr, 2], leaf_s[tr, 3])
+                    lv = flg_s[tr, 0] * leaf_s[tr, 0] \
+                        + (1.0 - flg_s[tr, 0]) * n1
+                    rv = flg_s[tr, 1] * leaf_s[tr, 1] \
+                        + (1.0 - flg_s[tr, 1]) * n1
+                    total = total + jnp.where(f0 < thr_s[tr, 0] * nf,
+                                              lv, rv)
+                    # stage boundary: fold the stage verdict into alive
+                    # and reset the running total (scalar last flag)
+                    last = last_s[tr]
+                    passed = jnp.where(total >= sthr_s[tr], 1.0, 0.0)
+                    alive_f = jnp.where(last > 0, alive_f * passed,
+                                        alive_f)
+                    total = total * (1.0 - last)
+                    return total, alive_f
+
+                alive0 = (valid_ref[:] != 0).astype(jnp.float32)
+                zero = jnp.zeros((band_h, nx), jnp.float32)
+                _, alive_f = jax.lax.fori_loop(0, n_trees, tree_body,
+                                               (zero, alive0))
+                out_ref[0] = (alive_f > 0).astype(jnp.int8)
 
             pl.run_scoped(
                 body,
@@ -412,28 +550,42 @@ class DeviceHaarDetector:
                 pltpu.VMEM((sh, canvas_w), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)))
 
+        smem = pltpu.SMEM
         call = pl.pallas_call(
             kernel,
             grid=(t, nbands),
             in_specs=[
+                pl.BlockSpec(memory_space=smem),   # packed geo (N, 2, 3) i32
+                pl.BlockSpec(memory_space=smem),   # wts (N, 2, 3) f32
+                pl.BlockSpec(memory_space=smem),   # thr (N, 2) f32
+                pl.BlockSpec(memory_space=smem),   # leaf (N, 4) f32
+                pl.BlockSpec(memory_space=smem),   # flg (N, 2) f32
+                pl.BlockSpec(memory_space=smem),   # is_last (N,) f32
+                pl.BlockSpec(memory_space=smem),   # stage_thr (N,) f32
                 pl.BlockSpec((band_h, nx), lambda fi, b: (b, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, band_h, nx),
                                    lambda fi, b: (fi, b, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((t, nbands * band_h, nx),
                                            jnp.int8),
-            # the unrolled ~230-tree body's live temporaries exceed the
-            # compiler's conservative 16 MB scoped-VMEM default
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=self._pallas_interpret,
         )
+        geo_j = jnp.asarray(geo)
+        wts_j = jnp.asarray(wts)
+        thr_j = jnp.asarray(thr)
+        leaf_j = jnp.asarray(leaf)
+        flg_j = jnp.asarray(flg)
+        last_j = jnp.asarray(is_last)
+        sthr_j = jnp.asarray(sthr)
 
-        return lambda ii, ii2: call(valid_pad, ii, ii2)
+        return lambda ii, ii2: call(geo_j, wts_j, thr_j, leaf_j, flg_j,
+                                    last_j, sthr_j, valid_pad, ii, ii2)
 
     # -- deep stages: host early-exit evaluator over survivors -----------
 
