@@ -543,6 +543,11 @@ def cmd_explorer(args):
 
     core = ExplorerCore(sampler, cfg.z_dim, args.media_dir,
                         batch_size=args.batch_size)
+    if args.warmup:
+        import time as _time
+        t0 = _time.perf_counter()
+        sampler(np.zeros((args.batch_size, cfg.z_dim), np.float32))
+        print(f"sampler warm (compile {_time.perf_counter() - t0:.1f}s)")
     static = os.path.join(os.path.dirname(__file__), "serve", "static")
     print(f"explorer listening on {args.host}:{args.port}")
     serve(core, host=args.host, port=args.port, static_dir=static,
@@ -559,6 +564,14 @@ def cmd_webcam_serve(args):
     backend = WebcamBackend(params, state, cfg, args.out_dir, paths=paths,
                             steps=args.num_steps,
                             batch_size=args.batch_size)
+    if args.warmup:
+        # compile the inversion program before accepting requests (the
+        # cold flagship compile is minutes; warm requests are sub-second)
+        import time as _time
+        t0 = _time.perf_counter()
+        backend.animate(np.zeros(
+            (cfg.output_size, cfg.output_size, 3), np.uint8))
+        print(f"inversion warm (compile {_time.perf_counter() - t0:.1f}s)")
     print(f"webcam service on {args.host}:{args.port} "
           f"({len(paths)} expression paths)")
     serve(backend, host=args.host, port=args.port,
@@ -859,6 +872,8 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--auth-token", default=None,
                    help="require Authorization: Bearer <token> (or ?token=)")
+    p.add_argument("--warmup", action="store_true",
+                   help="compile the sampler before serving")
     p.set_defaults(fn=cmd_explorer)
 
     p = sub.add_parser("webcam-serve", help="webcam demo HTTP service")
@@ -871,6 +886,8 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--auth-token", default=None,
                    help="require Authorization: Bearer <token> on /animate")
+    p.add_argument("--warmup", action="store_true",
+                   help="compile the inversion program before serving")
     p.set_defaults(fn=cmd_webcam_serve)
 
     p = sub.add_parser("eval-track-rate",
