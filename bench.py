@@ -8,7 +8,9 @@ Execution: bfloat16 activations (identical loss trajectories to float32,
 measured), K steps chained into one XLA program via lax.scan (per-step host
 dispatch through the device runtime otherwise costs as much as the math:
 18.7 steps/s per-step vs 35.7 via this bench / 37.2 in an isolated
-scan-timing probe, one v5e chip).
+scan-timing probe, one v5e chip). K sweep (round 3): 20 -> 37.8 steps/s,
+40 -> 39.6, 80 -> 40.6 (adopted; the 4 GB chunked frames buffer is the
+practical ceiling).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline compares against the reference-path CPU baseline recorded in
@@ -37,8 +39,8 @@ def _flagship(dtype="bfloat16"):
     return cfg, tcfg
 
 
-def run_bench(steps: int = 6, warmup: int = 2, batch_size: int = None,
-              chunk: int = 20, dtype: str = "bfloat16"):
+def run_bench(steps: int = 4, warmup: int = 2, batch_size: int = None,
+              chunk: int = 80, dtype: str = "bfloat16"):
     import jax
     import jax.numpy as jnp
 
