@@ -25,15 +25,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _enable_compile_cache():
-    import jax
-
-    try:  # persist compiles across runs: the tunnel compile is minutes
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/gifgan_jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+from gifgan_tpu.cli import _enable_compile_cache  # noqa: E402
 
 CASCADE = "/root/reference/demo/classifier_configs/haarcascade_frontalface_alt2.xml"
 FACES = "/root/reference/firebase/public/mturk/nested_dcgan_samples"

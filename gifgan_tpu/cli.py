@@ -569,8 +569,7 @@ def cmd_webcam_serve(args):
         # cold flagship compile is minutes; warm requests are sub-second)
         import time as _time
         t0 = _time.perf_counter()
-        backend.animate(np.zeros(
-            (cfg.output_size, cfg.output_size, 3), np.uint8))
+        backend.warmup()
         print(f"inversion warm (compile {_time.perf_counter() - t0:.1f}s)")
     print(f"webcam service on {args.host}:{args.port} "
           f"({len(paths)} expression paths)")
@@ -668,17 +667,26 @@ def cmd_bench(args):
 def _enable_compile_cache():
     """Persistent XLA compile cache for every CLI tool: a cold flagship
     compile through the remote-compile tunnel is ~6 min, cached reloads are
-    seconds. Same config bench.py uses; GIFGAN_NO_COMPILE_CACHE=1 opts out."""
+    seconds. Env vars cover the jax-not-yet-imported case without paying a
+    jax import on host-only commands; when something (e.g. this image's
+    sitecustomize) already imported jax, env config was snapshotted at that
+    import, so update the live config too. GIFGAN_NO_COMPILE_CACHE=1 opts
+    out."""
     if os.environ.get("GIFGAN_NO_COMPILE_CACHE"):
         return
-    try:
-        import jax
+    cache_dir = os.path.expanduser("~/.cache/gifgan_jax_cache")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                          "1.0")
+    if "jax" in sys.modules:
+        try:
+            import jax
 
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/gifgan_jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception:
+            pass
 
 
 def main(argv=None):

@@ -36,22 +36,27 @@ def _spec_for(path_key: str, shape) -> P:
     return P()
 
 
+def _leaf_sharding(mesh: Mesh, path, leaf) -> NamedSharding:
+    """NamedSharding for one param leaf: channel-sharded per _spec_for,
+    replicated when the sharded dim isn't divisible by the `model` axis."""
+    key = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+    spec = _spec_for(key, leaf.shape)
+    axis_size = mesh.shape[MODEL_AXIS]
+    for dim, name in enumerate(spec):
+        if name == MODEL_AXIS and leaf.shape[dim] % axis_size != 0:
+            spec = P()
+            break
+    return NamedSharding(mesh, spec)
+
+
 def shard_dcgan_params_tp(mesh: Mesh, params: Dict) -> Dict:
     """Place a DCGAN generator/discriminator param dict with channel-sharded
     weights over the `model` axis. BN running state should stay replicated
     (pass only params here)."""
-    def place(path, leaf):
-        key = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        spec = _spec_for(key, leaf.shape)
-        # channel dims not divisible by the axis stay replicated
-        axis_size = mesh.shape[MODEL_AXIS]
-        for dim, name in enumerate(spec):
-            if name == MODEL_AXIS and leaf.shape[dim] % axis_size != 0:
-                spec = P()
-                break
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
-
-    return jax.tree_util.tree_map_with_path(place, params)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: jax.device_put(leaf,
+                                          _leaf_sharding(mesh, path, leaf)),
+        params)
 
 
 def vid_state_tp_shardings(mesh: Mesh, ts):
@@ -62,16 +67,9 @@ def vid_state_tp_shardings(mesh: Mesh, ts):
     state_shardings for a combined DP x TP step — numerically a pure layout
     change vs the replicated run."""
     rep = NamedSharding(mesh, P())
-    axis_size = mesh.shape[MODEL_AXIS]
 
     def img_sh(path, leaf):
-        key = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        spec = _spec_for(key, leaf.shape)
-        for dim, name in enumerate(spec):
-            if name == MODEL_AXIS and leaf.shape[dim] % axis_size != 0:
-                spec = P()
-                break
-        return NamedSharding(mesh, spec)
+        return _leaf_sharding(mesh, path, leaf)
 
     everything_rep = jax.tree_util.tree_map(lambda _: rep, ts)
     params_sh = everything_rep.params._replace(

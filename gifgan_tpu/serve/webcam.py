@@ -58,6 +58,23 @@ class WebcamBackend:
         self._req = 0
         self._lock = threading.Lock()
 
+    def warmup(self) -> None:
+        """Compile the inversion/sampling programs before serving: run a
+        full animate on a dummy frame into a throwaway directory so no
+        junk artifacts land in out_dir and no request id is consumed."""
+        import shutil
+        import tempfile
+
+        orig_dir, orig_req = self.out_dir, self._req
+        tmp = tempfile.mkdtemp(prefix="gifgan_webcam_warmup_")
+        try:
+            self.out_dir = tmp
+            self.animate(np.zeros(
+                (self.cfg.output_size, self.cfg.output_size, 3), np.uint8))
+        finally:
+            self.out_dir, self._req = orig_dir, orig_req
+            shutil.rmtree(tmp, ignore_errors=True)
+
     def animate(self, face_u8: np.ndarray,
                 sections=None) -> Dict:
         """face_u8: (s, s, 3) uint8 RGB at model resolution. Returns paths of

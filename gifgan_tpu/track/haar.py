@@ -597,12 +597,6 @@ def make_native_cascade_handle(cas: HaarCascade):
         ctypes.c_double, ctypes.c_int, ctypes.c_double, ctypes.c_int,
         np.ctypeslib.ndpointer(np.int32, flags="C,WRITEABLE"),
         ctypes.c_int]
-    if hasattr(lib, "gifgan_haar_eval_windows"):
-        lib.gifgan_haar_eval_windows.restype = None
-        lib.gifgan_haar_eval_windows.argtypes = [
-            ctypes.c_void_p, c_dbl_p, ctypes.c_int, ctypes.c_int,
-            c_int_p, c_int_p, ctypes.c_int, ctypes.c_int,
-            np.ctypeslib.ndpointer(np.uint8, flags="C,WRITEABLE")]
     if hasattr(lib, "gifgan_haar_eval_pyramid"):
         lib.gifgan_haar_eval_pyramid.restype = None
         lib.gifgan_haar_eval_pyramid.argtypes = [

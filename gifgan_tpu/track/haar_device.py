@@ -113,20 +113,21 @@ def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
 
 
 def _unrolled_stages(cas: HaarCascade, rects: np.ndarray, rect_grid,
-                     nf, alive, n_stages: int, cache: bool = True):
+                     nf, alive, n_stages: int):
     """The cascade's first `n_stages` stages as fully unrolled elementwise
-    arithmetic over a window grid. `rect_grid(x0, y0, rw, rh)` returns the
-    rect sum at every grid origin; children codes and thresholds are
-    compile-time scalars, so each depth-2 tree is pure selects — no table
-    gathers. Shared by the XLA whole-clip program and the Pallas band
-    kernel (`cache=False` there: intermediate reuse would spill VMEM)."""
+    arithmetic over a window grid, used by the XLA whole-clip program.
+    `rect_grid(x0, y0, rw, rh)` returns the rect sum at every grid origin;
+    children codes and thresholds are compile-time scalars, so each
+    depth-2 tree is pure selects — no table gathers. (The Pallas band
+    kernel uses its own rolled fori_loop body instead: an unrolled kernel
+    never finished Mosaic compilation — docs/PROFILE.md round 3.)"""
     import jax.numpy as jnp
 
     inv_area = 1.0 / (cas.window_w * cas.window_h)
     fcache: Dict[int, object] = {}
 
     def fval(fi: int):
-        if cache and fi in fcache:
+        if fi in fcache:
             return fcache[fi]
         acc = None
         for r in range(3):
@@ -136,8 +137,7 @@ def _unrolled_stages(cas: HaarCascade, rects: np.ndarray, rect_grid,
             g = rect_grid(int(x0), int(y0), int(rw), int(rh)) * float(wt)
             acc = g if acc is None else acc + g
         out = acc * inv_area
-        if cache:
-            fcache[fi] = out
+        fcache[fi] = out
         return out
 
     for s in range(n_stages):
@@ -243,9 +243,6 @@ class DeviceHaarDetector:
         canvas_w = max(lv.w for lv in levels) + 1
         ny, nx, valid, level_id = self._grid_meta(levels, canvas_h, canvas_w)
         st = self.stride
-
-        n_early = int(cas.stage_first[self.early_stages - 1]
-                      + cas.stage_count[self.early_stages - 1])
         rects = self.rects0
         ww, wh = cas.window_w, cas.window_h
         inv_area = 1.0 / (ww * wh)
@@ -605,6 +602,7 @@ class DeviceHaarDetector:
 
             lib, handle, keep = make_native_cascade_handle(self.cas)
             if not hasattr(lib, "gifgan_haar_eval_pyramid"):
+                lib.gifgan_haar_free(handle)
                 raise RuntimeError("native lib too old; rebuild")
             self._native = (lib, handle, keep)
 
@@ -680,13 +678,13 @@ class DeviceHaarDetector:
             lids = level_id[gy, gx]
             # one finisher call per frame covers every scale: the canvas
             # mirrors the device row layout (level k's image at rows
-            # lv.row..lv.row+lv.h) so rect sums stay block-local
-            need_levels = np.unique(lids)
+            # lv.row..lv.row+lv.h) so rect sums stay block-local; only
+            # the levels THIS frame's survivors touch get resampled
             for fr in np.unique(fi):
                 sel = fi == fr
                 ok = deep(rounded[fr].astype(np.float64), gx[sel] * st,
-                          gy[sel] * st, need_levels, levels, np_mats,
-                          canvas_h, w)
+                          gy[sel] * st, np.unique(lids[sel]), levels,
+                          np_mats, canvas_h, w)
                 for gyi, gxi in zip(gy[sel][ok], gx[sel][ok]):
                     lv = levels[level_id[gyi, gxi]]
                     lx = gxi * st

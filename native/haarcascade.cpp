@@ -268,20 +268,10 @@ int gifgan_haar_detect(void* handle, const double* gray, int h, int w,
   return n_out;
 }
 
-// Evaluate the cascade at base scale (1.0) for an explicit window list,
-// starting at stage_lo, with per-window early exit. Used as the host
-// "deep stage" finisher behind the TPU early-stage pass
-// (gifgan_tpu/track/haar_device.py): survivors are few and branchy — the
-// CPU's case. gray: (h, w) float64; xs/ys: n window origins; out_pass: n
-// bytes set to 0/1.
-void gifgan_haar_eval_windows(void* handle, const double* gray, int h, int w,
-                              const int* xs, const int* ys, int n,
-                              int stage_lo, uint8_t* out_pass) {
-  eval_windows_on_image(*static_cast<Cascade*>(handle), gray, h, w, xs, ys, n,
-                        stage_lo, out_pass);
-}
-
-// Pyramid finisher: resample `gray` to each requested level with the same
+// Pyramid finisher — the host "deep stage" pass behind the TPU
+// early-stage program (gifgan_tpu/track/haar_device.py); survivors are
+// few and branchy, exactly the CPU's case:
+// resample `gray` to each requested level with the same
 // separable triangle (antialiased-linear) kernel as the device program's
 // host-precomputed matrices (haar_device.py _resize_matrix), pack the level
 // images into a (canvas_h, w) canvas at the given row offsets, and evaluate
@@ -319,8 +309,13 @@ void gifgan_haar_eval_pyramid(void* handle, const double* gray, int h, int w,
       for (int j = 0; j < lw; ++j) {
         const int s0 = c_start[j];
         double acc = 0.0;
-        for (int k = 0; k < c_taps; ++k)
-          acc += c_wts[static_cast<size_t>(j) * c_taps + k] * trow[s0 + k];
+        for (int k = 0; k < c_taps; ++k) {
+          const double wt = c_wts[static_cast<size_t>(j) * c_taps + k];
+          // zero weights pad rows with fewer taps; skipping them also
+          // keeps trow[s0 + k] in bounds at the right edge
+          if (wt == 0.0) continue;
+          acc += wt * trow[s0 + k];
+        }
         crow[j] = acc;
       }
     }
