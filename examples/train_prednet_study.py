@@ -31,10 +31,20 @@ def main():
     ap.add_argument("--eval-clips", type=int, default=64)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--length", type=int, default=16)
+    ap.add_argument("--channels", type=int, nargs="*", default=[32, 64])
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (tests/toy runs)")
     ap.add_argument("--out", default="/tmp/prednet_study.json")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        # env JAX_PLATFORMS is overridden by this image's sitecustomize;
+        # the config update after import is the reliable switch
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import optax
 
@@ -48,11 +58,12 @@ def main():
     from gifgan_tpu.data.synthetic import synthetic_clips
     from gifgan_tpu.models import prednet
 
-    cfg = prednet.PredNetConfig(image_size=64, c_dim=3, channels=(32, 64))
-    train = synthetic_clips(args.train_clips, length=16,
-                            size=64).astype(np.float32) / 255.0
+    cfg = prednet.PredNetConfig(image_size=args.size, c_dim=3,
+                                channels=tuple(args.channels))
+    train = synthetic_clips(args.train_clips, length=args.length,
+                            size=args.size).astype(np.float32) / 255.0
     heldout = jnp.asarray(synthetic_clips(
-        args.eval_clips, length=16, size=64,
+        args.eval_clips, length=args.length, size=args.size,
         seed=999).astype(np.float32) / 255.0)
 
     copy_mae = float(jnp.mean(jnp.abs(

@@ -1,6 +1,7 @@
 """First-party PredNet: shapes, scan recursion, and a learning test — the
 reference only VENDORED this model (prednet_reference/, unintegrated)."""
 
+import os
 import numpy as np
 import pytest
 
@@ -47,3 +48,27 @@ def test_prednet_learns_next_frame():
         params, opt_state, loss = step(params, opt_state, clips[idx])
     loss_end = float(prednet.loss_fn(params, clips[:8], CFG))
     assert loss_end < 0.5 * loss0, (loss0, loss_end)
+
+
+def test_prednet_study_script_smoke(tmp_path):
+    """examples/train_prednet_study.py end-to-end at toy scale: runs,
+    writes the JSON trace, and the held-out MAE is finite."""
+    import json
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "train_prednet_study.py")
+    out = tmp_path / "trace.json"
+    r = subprocess.run(
+        [sys.executable, script, "--steps", "4", "--eval-every", "2",
+         "--train-clips", "8", "--eval-clips", "4", "--batch", "4",
+         "--size", "16", "--length", "4", "--channels", "8", "16", "--cpu",
+         "--out", str(out)],
+        capture_output=True, text=True, timeout=420,
+        env=os.environ.copy())
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    trace = json.loads(out.read_text())
+    assert trace["copy_mae"] > 0
+    assert trace["trace"][-1]["step"] == 4
+    assert np.isfinite(trace["trace"][-1]["heldout_mae"])
