@@ -94,11 +94,39 @@ def run_cpu_reference(steps: int = 3):
     return run_bench(steps=steps, warmup=1, chunk=1, dtype="float32")
 
 
+def _prewarm(timeout_s: int = 1200, attempts: int = 3) -> bool:
+    """Compile the bench program in a disposable child first: the remote
+    compile tunnel occasionally hangs outright (threads parked in
+    futex_wait; observed repeatedly), and a hung driver bench records
+    nothing. A child can be killed and retried; the persistent compile
+    cache hands the successful compile to this process. Returns True when
+    a child completed."""
+    import subprocess
+
+    for _ in range(attempts):
+        p = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--prewarm-child"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        try:
+            if p.wait(timeout=timeout_s) == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.wait()
+    return False
+
+
 def main():
     if "--cpu-reference" in sys.argv:
         val = run_cpu_reference()
         print(json.dumps({"cpu_reference_steps_per_sec": val}))
         return
+    if "--prewarm-child" in sys.argv:
+        run_bench(steps=1, warmup=1)
+        return
+
+    if not os.environ.get("GIFGAN_NO_PREWARM"):
+        _prewarm()   # best effort; fall through to the real run regardless
 
     value = run_bench()
     baseline = None
