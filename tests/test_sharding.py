@@ -139,3 +139,44 @@ def test_dryrun_multichip_driver_style():
     sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
     graft = importlib.import_module("__graft_entry__")
     graft.dryrun_multichip(4)  # 4 keeps the CPU compile small
+
+
+def test_dp_tp_vid_step_matches_dp_only(key):
+    """Combined DP x TP (4x2 mesh, image-GAN weights channel-sharded over
+    `model`) is a pure layout change: one train step must produce the same
+    losses as the DP-only step on the same batch. Mirrors the assertion the
+    driver's dryrun_multichip makes, pinned here in CI."""
+    from gifgan_tpu.parallel.tp import (place_vid_state_tp,
+                                        vid_state_tp_shardings)
+
+    cfg = VidGANConfig(z_input_size=20, z_output_size=16, vid_length=4,
+                       hidden_dim=32, d_filters=16, image_gan=IMG,
+                       first_frame_loss_scalar=1.0)
+    tcfg = TrainConfig(batch_size=8, gen_updates=2)
+    frames = np.tanh(np.random.default_rng(0).standard_normal(
+        (8 * 4, 32, 32, 1))).astype(np.float32)
+    z = np.random.default_rng(1).uniform(-1, 1, (8, 20)).astype(np.float32)
+    rng = jax.random.PRNGKey(0)
+
+    mesh_dp = make_mesh(data_parallel=8)
+    ts = shard_train_state(mesh_dp, vid_train.init_train_state(key, cfg,
+                                                               tcfg))
+    f_s, z_s = shard_batch_arrays(mesh_dp, frames, z)
+    step = make_sharded_step(vid_train.train_step, mesh_dp,
+                             static_args={"cfg": cfg, "tcfg": tcfg})
+    _, m_dp = step(ts, f_s, z_s, rng)
+
+    mesh2 = make_mesh(data_parallel=4, model_parallel=2)
+    ts2 = place_vid_state_tp(mesh2, vid_train.init_train_state(key, cfg,
+                                                               tcfg))
+    f2, z2 = shard_batch_arrays(mesh2, frames, z)
+    step2 = make_sharded_step(
+        vid_train.train_step, mesh2,
+        static_args={"cfg": cfg, "tcfg": tcfg},
+        state_shardings=vid_state_tp_shardings(mesh2, ts2))
+    _, m_tp = step2(ts2, f2, z2, rng)
+
+    for k in ("d_loss", "g_loss", "first_frame_loss"):
+        a = float(np.asarray(m_dp[k]))
+        b = float(np.asarray(m_tp[k]))
+        assert abs(a - b) < 1e-3 + 1e-3 * abs(a), (k, a, b)
