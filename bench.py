@@ -5,26 +5,40 @@ Reference config (z_model.py:27-29,64-65; z_model_lib.py:70-76): vid_batch 64
 img_z 100, 1 D + 2 G updates per step (model.py:226-239).
 
 Execution: bfloat16 activations (identical loss trajectories to float32,
-measured), K steps chained into one XLA program via lax.scan (per-step host
-dispatch through the device runtime otherwise costs as much as the math:
-18.7 steps/s per-step vs 35.7 via this bench / 37.2 in an isolated
-scan-timing probe, one v5e chip). K sweep (round 3): 20 -> 37.8 steps/s,
-40 -> 39.6, 80 -> 40.6 (adopted; the 4 GB chunked frames buffer is the
-practical ceiling).
+measured), K=80 steps chained into one XLA program via lax.scan (per-step
+host dispatch through the device runtime otherwise costs as much as the
+math: 18.7 steps/s per-step vs 40.6 via the chunked program, one v5e chip).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline compares against the reference-path CPU baseline recorded in
 BASELINE.json under published.cpu_reference_steps_per_sec (measured with
-bench.py --cpu-reference, which runs the same shapes eagerly un-jitted the
-way the reference executes: separate D/G graph executions per update).
+bench.py --cpu-reference: same shapes eagerly un-jitted the way the
+reference executes, separate D/G graph executions per update).
+
+Reliability architecture (round-2 rework; round 1 recorded rc=124):
+- Bench data is generated ON DEVICE (jax.random). The previous host-side
+  np RNG + upload of the 4 GB frames buffer cost ~450 s on this 1-core
+  driver host and was the primary round-1 timeout cause.
+- The measurement runs in a CHILD process that writes stage marks to a
+  status file; the parent enforces per-stage deadlines and a global budget
+  (default 430 s, env GIFGAN_BENCH_BUDGET_S). The remote-compile relay
+  hangs outright in ~30% of fresh processes (threads in futex_wait) — a
+  hang is killed at its stage deadline and retried with the time left.
+- Stage deadlines adapt to cache state: warm executable load ~175 s,
+  cold remote compile ~350 s (both measured 2026-08-17).
+- Cache keys are stable across processes/dirs via
+  core/cache.enable_compile_cache (jax_persistent_cache_enable_xla_caches
+  = "none"; the default embeds the cache dir path into the hashed compile
+  options, which is what defeated the warm cache in round 1).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-import numpy as np
+STATUS_ENV = "GIFGAN_BENCH_STATUS"
 
 
 def _flagship(dtype="bfloat16"):
@@ -39,17 +53,23 @@ def _flagship(dtype="bfloat16"):
     return cfg, tcfg
 
 
-def run_bench(steps: int = 4, warmup: int = 2, batch_size: int = None,
+def _mark(stage: str):
+    path = os.environ.get(STATUS_ENV)
+    if path:
+        with open(path, "a") as f:
+            f.write(f"{time.time():.1f} {stage}\n")
+
+
+def run_bench(steps: int = 3, warmup: int = 1, batch_size: int = None,
               chunk: int = 80, dtype: str = "bfloat16"):
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    try:  # persistent compile cache: first compile via the tunnel is ~6 min
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/gifgan_jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from gifgan_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
+    _mark("imports")
 
     from gifgan_tpu.train import vid as vid_train
 
@@ -58,15 +78,25 @@ def run_bench(steps: int = 4, warmup: int = 2, batch_size: int = None,
         from dataclasses import replace
         tcfg = replace(tcfg, batch_size=batch_size)
 
+    # first device contact — the relay-hang failure mode usually shows here
+    jax.random.normal(jax.random.PRNGKey(0), (8, 8)).block_until_ready()
+    _mark("device")
+
     key = jax.random.PRNGKey(0)
     ts = vid_train.init_train_state(key, cfg, tcfg)
+    jax.block_until_ready(ts.params)
+    _mark("init")
 
+    # bench data generated on device: the 4 GB frames buffer must never
+    # exist on the (1-core) host
     b = tcfg.batch_size
-    rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.standard_normal(
-        (chunk, b * cfg.vid_length, 64, 64, 3)).astype(np.float32))
-    z = jnp.asarray(rng.uniform(-1, 1, (chunk, b, cfg.z_input_size))
-                    .astype(np.float32))
+    kf, kz = jax.random.split(jax.random.PRNGKey(7))
+    frames = jax.random.normal(
+        kf, (chunk, b * cfg.vid_length, 64, 64, 3), dtype=jnp.float32)
+    z = jax.random.uniform(kz, (chunk, b, cfg.z_input_size),
+                           minval=-1.0, maxval=1.0, dtype=jnp.float32)
+    jax.block_until_ready((frames, z))
+    _mark("data")
 
     # warmup/compile. Sync by fetching a scalar — under the axon relay,
     # block_until_ready alone under-reports (async dispatch).
@@ -74,6 +104,7 @@ def run_bench(steps: int = 4, warmup: int = 2, batch_size: int = None,
         ts, metrics = vid_train.train_chunk(ts, frames, z,
                                             jax.random.PRNGKey(i), cfg, tcfg)
         float(np.asarray(metrics["d_loss"][-1]))
+    _mark("compiled")
 
     t0 = time.perf_counter()
     for i in range(steps):
@@ -82,6 +113,7 @@ def run_bench(steps: int = 4, warmup: int = 2, batch_size: int = None,
                                             cfg, tcfg)
         float(np.asarray(metrics["d_loss"][-1]))
     dt = time.perf_counter() - t0
+    _mark("measured")
     return steps * chunk / dt
 
 
@@ -94,44 +126,11 @@ def run_cpu_reference(steps: int = 3):
     return run_bench(steps=steps, warmup=1, chunk=1, dtype="float32")
 
 
-def _prewarm(timeout_s: int = 1200, attempts: int = 3) -> bool:
-    """Compile the bench program in a disposable child first: the remote
-    compile tunnel occasionally hangs outright (threads parked in
-    futex_wait; observed repeatedly), and a hung driver bench records
-    nothing. A child can be killed and retried; the persistent compile
-    cache hands the successful compile to this process. Returns True when
-    a child completed."""
-    import subprocess
-
-    for _ in range(attempts):
-        p = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--prewarm-child"],
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-        try:
-            if p.wait(timeout=timeout_s) == 0:
-                return True
-        except subprocess.TimeoutExpired:
-            p.kill()
-            p.wait()
-    return False
-
-
-def main():
-    if "--cpu-reference" in sys.argv:
-        val = run_cpu_reference()
-        print(json.dumps({"cpu_reference_steps_per_sec": val}))
-        return
-    if "--prewarm-child" in sys.argv:
-        run_bench(steps=1, warmup=1)
-        return
-
-    if not os.environ.get("GIFGAN_NO_PREWARM"):
-        _prewarm()   # best effort; fall through to the real run regardless
-
-    value = run_bench()
+def _emit(value):
     baseline = None
     try:
-        with open(os.path.join(os.path.dirname(__file__), "BASELINE.json")) as f:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE.json")) as f:
             baseline = json.load(f).get("published", {}).get(
                 "cpu_reference_steps_per_sec")
     except Exception:
@@ -142,7 +141,126 @@ def main():
         "value": round(value, 4),
         "unit": "steps/sec",
         "vs_baseline": round(vs, 3) if vs else None,
-    }))
+    }), flush=True)
+
+
+# ----- parent-side watchdog -------------------------------------------------
+
+# per-stage deadlines, seconds since child start; "compiled" gets the bulk.
+# Observed: imports ~8 s, device contact 15-40 s, init 17-42 s, data ~10 s,
+# warm executable load ~175 s, cold remote compile ~350 s, measure ~2 s/chunk.
+_STAGE_DEADLINES_WARM = {
+    "imports": 30, "device": 70, "init": 120, "data": 140,
+    "compiled": 300, "measured": 330,
+}
+_STAGE_DEADLINES_COLD = {
+    "imports": 30, "device": 70, "init": 120, "data": 140,
+    "compiled": 420, "measured": 450,
+}
+
+
+def _run_child_attempt(deadline_total: float, stage_deadlines: dict):
+    """One measurement attempt in a child process with stage watchdog.
+    Returns the parsed JSON dict or None."""
+    status = f"/tmp/gifgan_bench_status_{os.getpid()}_{time.time():.0f}"
+    env = {**os.environ, STATUS_ENV: status, "GIFGAN_BENCH_CHILD": "1"}
+    t0 = time.time()
+    with open(status, "w"):
+        pass
+    out = open(status + ".out", "wb")
+    p = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--measure-child"],
+        stdout=out, stderr=subprocess.DEVNULL, env=env)
+    try:
+        while True:
+            rc = p.poll()
+            if rc is not None:
+                break
+            now = time.time()
+            if now - t0 > deadline_total:
+                p.kill()
+                p.wait()
+                return None
+            # which stage are we in, and is it overdue?
+            stages = []
+            try:
+                with open(status) as f:
+                    stages = [ln.split()[1] for ln in f if ln.strip()]
+            except OSError:
+                pass
+            reached = stages[-1] if stages else None
+            # deadline for the NEXT stage not yet reached
+            order = list(stage_deadlines)
+            nxt = order[order.index(reached) + 1] if (
+                reached in order and reached != order[-1]) else (
+                order[0] if reached is None else None)
+            if nxt is not None and now - t0 > stage_deadlines[nxt]:
+                p.kill()
+                p.wait()
+                return None
+            time.sleep(2.0)
+        if rc != 0:
+            return None
+        out.flush()
+        with open(status + ".out") as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        return json.loads(line)
+                    except json.JSONDecodeError:
+                        pass
+        return None
+    finally:
+        out.close()
+        # on failure keep the status file and log the stages reached —
+        # the difference between "hung at device contact" and "slow
+        # executable load" decides whether retrying is worth it
+        try:
+            with open(status) as f:
+                trail = [ln.strip() for ln in f if ln.strip()]
+            sys.stderr.write(f"  attempt stages: {trail}\n")
+        except OSError:
+            pass
+        for suffix in ("", ".out"):
+            try:
+                os.unlink(status + suffix)
+            except OSError:
+                pass
+
+
+def main():
+    if "--cpu-reference" in sys.argv:
+        val = run_cpu_reference()
+        print(json.dumps({"cpu_reference_steps_per_sec": val}))
+        return
+    if "--measure-child" in sys.argv:
+        _emit(run_bench())
+        return
+    if "--inproc" in sys.argv:  # no watchdog; for debugging
+        _emit(run_bench())
+        return
+
+    from gifgan_tpu.core.cache import has_flagship_entry
+
+    budget = float(os.environ.get("GIFGAN_BENCH_BUDGET_S", "430"))
+    t0 = time.time()
+    attempt = 0
+    while time.time() - t0 < budget - 30:
+        attempt += 1
+        warm = has_flagship_entry()
+        deadlines = (_STAGE_DEADLINES_WARM if warm
+                     else _STAGE_DEADLINES_COLD)
+        remaining = budget - (time.time() - t0)
+        result = _run_child_attempt(remaining, deadlines)
+        if result is not None:
+            print(json.dumps(result), flush=True)
+            return
+        sys.stderr.write(f"bench attempt {attempt} failed "
+                         f"(warm={warm}); retrying with "
+                         f"{budget - (time.time() - t0):.0f}s left\n")
+    sys.stderr.write("bench: budget exhausted without a measurement\n")
+    sys.exit(3)
 
 
 if __name__ == "__main__":

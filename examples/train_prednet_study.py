@@ -48,12 +48,9 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/gifgan_jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from gifgan_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from gifgan_tpu.data.synthetic import synthetic_clips
     from gifgan_tpu.models import prednet

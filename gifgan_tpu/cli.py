@@ -353,10 +353,26 @@ def cmd_combine_stats(args):
 
 
 def cmd_scrape(args):
-    from gifgan_tpu.data.scrape import Scraper, default_fetch, parse_keywords
+    from gifgan_tpu.data.scrape import (Scraper, default_fetch,
+                                        parse_keywords, scan_existing)
 
     with open(args.keywords) as f:
         keywords = parse_keywords(f.read())
+    if args.dry_run:
+        # no network: validate the keyword file + output tree and print the
+        # work plan (what the threaded scrape WOULD do)
+        existing = scan_existing(args.out_dir)
+        os.makedirs(args.out_dir, exist_ok=True)
+        print(json.dumps({
+            "dry_run": True,
+            "keywords": keywords,
+            "already_downloaded_ids": len(existing),
+            "threads_per_keyword": args.num_threads,
+            "items_per_thread": args.items_per_thread,
+            "planned_requests_per_keyword":
+                args.num_threads * -(-args.items_per_thread // 100),
+        }))
+        return
     s = Scraper(args.out_dir, default_fetch, api_key=args.api_key,
                 num_threads=args.num_threads,
                 items_per_thread=args.items_per_thread)
@@ -674,19 +690,14 @@ def _enable_compile_cache():
     out."""
     if os.environ.get("GIFGAN_NO_COMPILE_CACHE"):
         return
-    cache_dir = os.path.expanduser("~/.cache/gifgan_jax_cache")
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
+    from gifgan_tpu.core.cache import DEFAULT_CACHE_DIR, enable_compile_cache
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", DEFAULT_CACHE_DIR)
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
                           "1.0")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES", "none")
     if "jax" in sys.modules:
-        try:
-            import jax
-
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              1.0)
-        except Exception:
-            pass
+        enable_compile_cache()
 
 
 def main(argv=None):
@@ -812,6 +823,9 @@ def main(argv=None):
     p.add_argument("--api-key", default="")
     p.add_argument("--num-threads", type=int, default=8)
     p.add_argument("--items-per-thread", type=int, default=200)
+    p.add_argument("--dry-run", action="store_true",
+                   help="no network: validate the keyword file and print "
+                        "the work plan as JSON")
     p.set_defaults(fn=cmd_scrape)
 
     p = sub.add_parser("bulk-resize")
@@ -879,7 +893,10 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--auth-token", default=None,
-                   help="require Authorization: Bearer <token> (or ?token=)")
+                   help="require Authorization: Bearer <token>. ?token= is "
+                        "also accepted for browser convenience, but URLs "
+                        "with embedded secrets leak via history/referrers/"
+                        "proxy logs — prefer the header off-localhost")
     p.add_argument("--warmup", action="store_true",
                    help="compile the sampler before serving")
     p.set_defaults(fn=cmd_explorer)

@@ -1,0 +1,53 @@
+"""Persistent compile-cache setup, centralized.
+
+Every process that might compile a flagship-sized program (bench, driver
+entry, CLI training, examples) must configure the cache IDENTICALLY or the
+cache key diverges and a warm machine recompiles anyway. Two measured
+gotchas on this machine (2026-08-17):
+
+- ``jax_persistent_cache_enable_xla_caches`` defaults to
+  ``xla_gpu_per_fusion_autotune_cache_dir``, which embeds the cache
+  *directory path* into the hashed compile options — two processes pointing
+  at different cache dirs produce different keys for the same program.
+  We set it to ``"none"`` so the key depends only on the computation.
+- First compile of the flagship ``train_chunk`` through the remote-compile
+  tunnel is ~350 s; a warm hit still pays ~175 s of executable load on the
+  relay. Budget accordingly (see bench.py's stage watchdog).
+"""
+
+import os
+
+DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/gifgan_jax_cache")
+
+
+def enable_compile_cache(cache_dir: str = None) -> None:
+    """Point jax at the shared persistent compile cache. Safe to call
+    multiple times and before/after backend init; never raises."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          cache_dir or DEFAULT_CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        try:
+            # Keep cache-dir paths out of the hashed compile options so the
+            # key is stable across processes/dirs (see module docstring).
+            jax.config.update("jax_persistent_cache_enable_xla_caches",
+                              "none")
+        except Exception:
+            pass
+    except Exception:
+        pass
+
+
+def has_flagship_entry(cache_dir: str = None, min_bytes: int = 5_000_000,
+                       prefix: str = "jit_train_chunk") -> bool:
+    """Heuristic: is the flagship program probably warm in the cache?
+    Used only to pick stage budgets (warm load ~175 s vs cold ~350 s)."""
+    d = cache_dir or DEFAULT_CACHE_DIR
+    try:
+        return any(f.startswith(prefix) and
+                   os.path.getsize(os.path.join(d, f)) >= min_bytes
+                   for f in os.listdir(d))
+    except OSError:
+        return False

@@ -76,9 +76,16 @@ def make_sharded_step(step_fn: Callable, mesh: Mesh, *, static_args: dict,
         shapes = tuple(a.shape for a in args[:-1])
         if shapes not in compiled_cache:
             shardings = in_shardings(ts, *args)
+            # pin the OUTPUT state layout to the input layout: without
+            # out_shardings GSPMD may pick a different layout for the
+            # returned state (especially TP-sharded params), and every
+            # subsequent step would pay a reshard of the donated state on
+            # re-entry (advisor finding r1). Metrics stay replicated
+            # (sharding leaves act as pytree prefixes over the subtrees).
             compiled_cache[shapes] = jax.jit(
                 bound,
                 in_shardings=shardings,
+                out_shardings=(shardings[0], rep),
                 donate_argnums=(0,) if donate_state else (),
             )
         return compiled_cache[shapes](ts, *args)

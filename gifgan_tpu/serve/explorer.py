@@ -303,7 +303,10 @@ def make_handler(core: ExplorerCore, static_dir: Optional[str] = None,
     `Authorization: Bearer <token>` header or `?token=` query parameter
     (constant-time compare); mismatches get 401. The reference explorer
     (explorer.py:95-396) had no auth at all — this is the minimum for
-    exposing a GPU/TPU-backed sampler beyond localhost."""
+    exposing a GPU/TPU-backed sampler beyond localhost. ?token= exists for
+    browser convenience only: URLs embedding secrets leak via history,
+    referrers, and intermediary logs (the webcam service is header-only) —
+    prefer the header, rotate the token if a ?token= URL was ever shared."""
     import hmac
     from http.server import BaseHTTPRequestHandler
     from urllib.parse import parse_qs, urlparse

@@ -253,6 +253,11 @@ class HaarDetector:
                  min_neighbors: int = 3, min_size: int = 20,
                  max_size_factor: float = 1.0,
                  early_stages: int = 6):
+        if scale_factor <= 1.0:
+            raise ValueError(
+                f"scale_factor must be > 1.0, got {scale_factor} "
+                "(the scale loop multiplies by it until the window "
+                "outgrows the image; <= 1.0 never terminates)")
         self.cas = parse_cascade(cascade_path)
         self.scale_factor = scale_factor
         self.min_neighbors = min_neighbors

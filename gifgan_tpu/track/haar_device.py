@@ -108,7 +108,13 @@ def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
         js = np.clip(js, 0, n_in - 1)
         for j, wt in zip(js, w):
             out[i, j] += wt
-        out[i] /= out[i].sum()
+        # sequential f32 row sum (not numpy's pairwise .sum()): the C++
+        # finisher's resample_weights replicates exactly this ordering so
+        # both sides normalize by the bit-identical denominator
+        s = np.float32(0.0)
+        for v in out[i]:
+            s = np.float32(s + v)
+        out[i] /= s
     return out
 
 
@@ -182,6 +188,11 @@ class DeviceHaarDetector:
                  min_neighbors: int = 3, min_size: int = 20,
                  max_size_factor: float = 1.0, early_stages: int = 10,
                  stride: int = 1, use_pallas: bool = None):
+        if scale_factor <= 1.0:
+            raise ValueError(
+                f"scale_factor must be > 1.0, got {scale_factor} "
+                "(the pyramid level planner multiplies by it until the "
+                "window outgrows the image; <= 1.0 never terminates)")
         self.cas = parse_cascade(cascade_path)
         self.scale_factor = scale_factor
         self.min_neighbors = min_neighbors
@@ -295,7 +306,15 @@ class DeviceHaarDetector:
                 g = jnp.einsum("ah,thw,wb->tab", mh, grays, mw)
                 ii = jnp.pad(jnp.cumsum(jnp.cumsum(g, 1), 2),
                              ((0, 0), (1, 0), (1, 0)))
-                ii2 = jnp.pad(jnp.cumsum(jnp.cumsum(g * g, 1), 2),
+                # squared integral over OFFSET pixels: (g-128)^2 <= 16384
+                # keeps the full-canvas cumsum <= ~2^30 (vs ~2^32 for raw
+                # g^2), cutting f32 corner rounding 4x; window variance is
+                # shift-invariant, so downstream uses (mean-128) instead of
+                # mean (advisor finding r1: raw-g^2 rounding could falsely
+                # kill threshold-adjacent windows in the early stages,
+                # which the f64 host finisher never re-checks)
+                gc = g - 128.0
+                ii2 = jnp.pad(jnp.cumsum(jnp.cumsum(gc * gc, 1), 2),
                               ((0, 0), (1, 0), (1, 0)))
                 block_h = ((lv.h + 1 + 1) // 2) * 2
                 pad = ((0, 0), (0, block_h - (lv.h + 1)),
@@ -320,8 +339,10 @@ class DeviceHaarDetector:
                 # window variance-normalization factor over the grid
                 s1 = rect_grid(ii, 0, 0, ww, wh)
                 s2 = rect_grid(ii2, 0, 0, ww, wh)
-                mean = s1 * inv_area
-                var = s2 * inv_area - mean * mean
+                # s2 is over offset pixels (g-128)^2: var = E[(g-128)^2]
+                # - (mean-128)^2 (shift-invariant)
+                mean_c = s1 * inv_area - 128.0
+                var = s2 * inv_area - mean_c * mean_c
                 nf = jnp.where(var > 0, jnp.sqrt(jnp.maximum(var, 0.0)),
                                1.0)
                 alive = _unrolled_stages(
@@ -459,8 +480,9 @@ class DeviceHaarDetector:
 
                 s1 = srect(s1ref, 0, 0, ww, wh)
                 s2 = srect(s2ref, 0, 0, ww, wh)
-                mean = s1 * inv_area
-                var = s2 * inv_area - mean * mean
+                # ii2 canvas is over offset pixels (g-128)^2; see program()
+                mean_c = s1 * inv_area - 128.0
+                var = s2 * inv_area - mean_c * mean_c
                 nf = jnp.where(var > 0, jnp.sqrt(jnp.maximum(var, 0.0)),
                                1.0)
 

