@@ -567,7 +567,8 @@ def cmd_explorer(args):
     static = os.path.join(os.path.dirname(__file__), "serve", "static")
     print(f"explorer listening on {args.host}:{args.port}")
     serve(core, host=args.host, port=args.port, static_dir=static,
-          auth_token=args.auth_token)
+          auth_token=args.auth_token,
+          tls_cert=args.tls_cert, tls_key=args.tls_key)
 
 
 def cmd_webcam_serve(args):
@@ -590,7 +591,8 @@ def cmd_webcam_serve(args):
     print(f"webcam service on {args.host}:{args.port} "
           f"({len(paths)} expression paths)")
     serve(backend, host=args.host, port=args.port,
-          auth_token=args.auth_token)
+          auth_token=args.auth_token,
+          tls_cert=args.tls_cert, tls_key=args.tls_key)
 
 
 def cmd_eval_track_rate(args):
@@ -669,7 +671,8 @@ def cmd_survey_serve(args):
     survey = SurveyServer(args.sample_dir)
     print(f"survey on {args.host}:{args.port} "
           f"(responses -> {survey.responses_path})")
-    serve(survey, host=args.host, port=args.port)
+    serve(survey, host=args.host, port=args.port,
+          tls_cert=args.tls_cert, tls_key=args.tls_key)
 
 
 def cmd_bench(args):
@@ -698,6 +701,15 @@ def _enable_compile_cache():
     os.environ.setdefault("JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES", "none")
     if "jax" in sys.modules:
         enable_compile_cache()
+
+
+def _add_tls_args(p):
+    p.add_argument("--tls-cert", default=None,
+                   help="PEM certificate chain: serve HTTPS in-process "
+                        "(terminating TLS at a front proxy works too — "
+                        "see serve/http_common.py)")
+    p.add_argument("--tls-key", default=None,
+                   help="PEM private key for --tls-cert")
 
 
 def main(argv=None):
@@ -899,6 +911,7 @@ def main(argv=None):
                         "proxy logs — prefer the header off-localhost")
     p.add_argument("--warmup", action="store_true",
                    help="compile the sampler before serving")
+    _add_tls_args(p)
     p.set_defaults(fn=cmd_explorer)
 
     p = sub.add_parser("webcam-serve", help="webcam demo HTTP service")
@@ -913,6 +926,7 @@ def main(argv=None):
                    help="require Authorization: Bearer <token> on /animate")
     p.add_argument("--warmup", action="store_true",
                    help="compile the inversion program before serving")
+    _add_tls_args(p)
     p.set_defaults(fn=cmd_webcam_serve)
 
     p = sub.add_parser("eval-track-rate",
@@ -940,6 +954,7 @@ def main(argv=None):
     p.add_argument("--sample-dir", required=True)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8082)
+    _add_tls_args(p)
     p.set_defaults(fn=cmd_survey_serve)
 
     p = sub.add_parser("bench")

@@ -361,7 +361,11 @@ def make_handler(core: ExplorerCore, static_dir: Optional[str] = None,
             u = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
             if self.command == "POST":
-                n = int(self.headers.get("Content-Length") or 0)
+                from gifgan_tpu.serve.http_common import (MAX_FORM_BODY,
+                                                          body_length)
+                n = body_length(self, MAX_FORM_BODY)
+                if n is None:
+                    return
                 if n:
                     q.update({k: v[0] for k, v in
                               parse_qs(self.rfile.read(n).decode()).items()})
@@ -439,13 +443,10 @@ def make_handler(core: ExplorerCore, static_dir: Optional[str] = None,
 
 def serve(core: ExplorerCore, host: str = "127.0.0.1", port: int = 8080,
           static_dir: Optional[str] = None, background: bool = False,
-          auth_token: Optional[str] = None):
-    from http.server import ThreadingHTTPServer
+          auth_token: Optional[str] = None,
+          tls_cert: Optional[str] = None, tls_key: Optional[str] = None):
+    from gifgan_tpu.serve.http_common import make_server
 
-    server = ThreadingHTTPServer(
-        (host, port), make_handler(core, static_dir, auth_token=auth_token))
-    if background:
-        t = threading.Thread(target=server.serve_forever, daemon=True)
-        t.start()
-        return server
-    server.serve_forever()
+    return make_server(
+        host, port, make_handler(core, static_dir, auth_token=auth_token),
+        background=background, tls_cert=tls_cert, tls_key=tls_key)

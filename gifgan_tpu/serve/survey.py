@@ -106,8 +106,12 @@ class SurveyServer:
 
 
 def serve(survey: SurveyServer, host: str = "127.0.0.1", port: int = 8082,
-          background: bool = False):
-    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+          background: bool = False,
+          tls_cert: str = None, tls_key: str = None):
+    from http.server import BaseHTTPRequestHandler
+
+    from gifgan_tpu.serve.http_common import (MAX_FORM_BODY, body_length,
+                                              make_server)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
@@ -146,7 +150,9 @@ def serve(survey: SurveyServer, host: str = "127.0.0.1", port: int = 8082,
         def do_POST(self):
             if self.path.split("?")[0] != "/response":
                 return self._send(b"{}", "application/json", 404)
-            n = int(self.headers.get("Content-Length") or 0)
+            n = body_length(self, MAX_FORM_BODY)
+            if n is None:
+                return
             try:
                 survey.record(json.loads(self.rfile.read(n)))
                 self._send(b'{"response": "success"}', "application/json")
@@ -155,9 +161,5 @@ def serve(survey: SurveyServer, host: str = "127.0.0.1", port: int = 8082,
                     {"response": "error", "msg": str(e)}).encode(),
                     "application/json", 400)
 
-    server = ThreadingHTTPServer((host, port), Handler)
-    if background:
-        t = threading.Thread(target=server.serve_forever, daemon=True)
-        t.start()
-        return server
-    server.serve_forever()
+    return make_server(host, port, Handler, background=background,
+                       tls_cert=tls_cert, tls_key=tls_key)

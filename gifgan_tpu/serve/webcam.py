@@ -187,14 +187,20 @@ def capture_face(frame_source, detector, expand_factor: float = 1.0,
 
 
 def serve(backend: WebcamBackend, host: str = "127.0.0.1", port: int = 8081,
-          background: bool = False, auth_token: str = None):
+          background: bool = False, auth_token: str = None,
+          tls_cert: str = None, tls_key: str = None):
     """POST /animate with a PNG body; GET /health. When auth_token is set,
     /animate requires an `Authorization: Bearer <token>` header
-    (constant-time compare); /health stays open as a liveness probe."""
+    (constant-time compare); /health stays open as a liveness probe.
+    Bodies over http_common.MAX_IMAGE_BODY are refused with 413 unread;
+    tls_cert/tls_key enable in-process TLS (see http_common)."""
     import hmac
 
     import imageio.v2 as imageio
-    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from http.server import BaseHTTPRequestHandler
+
+    from gifgan_tpu.serve.http_common import (MAX_IMAGE_BODY, body_length,
+                                              make_server)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
@@ -226,7 +232,9 @@ def serve(backend: WebcamBackend, host: str = "127.0.0.1", port: int = 8081,
             if not self._authorized():
                 return self._json({"response": "error",
                                    "msg": "unauthorized"}, 401)
-            n = int(self.headers.get("Content-Length") or 0)
+            n = body_length(self, MAX_IMAGE_BODY)
+            if n is None:
+                return
             data = self.rfile.read(n)
             try:
                 img = imageio.imread(io.BytesIO(data))[..., :3]
@@ -244,24 +252,23 @@ def serve(backend: WebcamBackend, host: str = "127.0.0.1", port: int = 8081,
                 self._json({"response": "error",
                             "msg": f"{type(e).__name__}: {e}"}, 500)
 
-    server = ThreadingHTTPServer((host, port), Handler)
-    if background:
-        t = threading.Thread(target=server.serve_forever, daemon=True)
-        t.start()
-        return server
-    server.serve_forever()
+    return make_server(host, port, Handler, background=background,
+                       tls_cert=tls_cert, tls_key=tls_key)
 
 
 def animate_via_service(url: str, face_u8: np.ndarray,
                         out_dir: Optional[str] = None,
                         timeout: float = 600.0,
-                        auth_token: Optional[str] = None) -> Dict:
+                        auth_token: Optional[str] = None,
+                        tls_ca: Optional[str] = None) -> Dict:
     """Client half of the demo: POST a face image to a running webcam
     service and (optionally) copy the artifacts locally — the HTTP
     replacement for the reference's scp/ssh round trip
-    (webcam_client.py:229-247)."""
+    (webcam_client.py:229-247). tls_ca: CA bundle (or the server's own
+    self-signed cert) to trust for an https:// url."""
     import io as _io
     import shutil
+    import ssl
     from urllib.request import Request, urlopen
 
     import imageio.v2 as imageio
@@ -273,7 +280,8 @@ def animate_via_service(url: str, face_u8: np.ndarray,
         headers["Authorization"] = f"Bearer {auth_token}"
     req = Request(url.rstrip("/") + "/animate", data=buf.getvalue(),
                   headers=headers)
-    with urlopen(req, timeout=timeout) as r:
+    ctx = ssl.create_default_context(cafile=tls_ca) if tls_ca else None
+    with urlopen(req, timeout=timeout, context=ctx) as r:
         result = json.loads(r.read())
     if result.get("response") != "success":
         raise RuntimeError(f"service error: {result.get('msg')}")

@@ -541,3 +541,152 @@ def test_webcam_service_auth_token(tmp_path, key):
         assert result["response"] == "success"
     finally:
         server.shutdown()
+
+
+def _claim_big_body(host, port, path, n_bytes, scheme_ctx=None,
+                    headers=()):
+    """Open a request that DECLARES an n-byte body without sending it; the
+    server must answer from the header alone (413) instead of reading."""
+    import http.client
+
+    conn = http.client.HTTPConnection(host, port, timeout=10)
+    conn.putrequest("POST", path)
+    for k, v in headers:
+        conn.putheader(k, v)
+    conn.putheader("Content-Type", "application/octet-stream")
+    conn.putheader("Content-Length", str(n_bytes))
+    conn.endheaders()
+    resp = conn.getresponse()
+    body = json.loads(resp.read())
+    conn.close()
+    return resp.status, body
+
+
+def test_webcam_oversized_body_rejected_unread(tmp_path, key):
+    """A POST declaring a body over MAX_IMAGE_BODY gets 413 from the header
+    alone — the payload is never uploaded (round-1 verdict item 7: the
+    handler previously read arbitrary Content-Length into memory)."""
+    from gifgan_tpu.serve.http_common import MAX_IMAGE_BODY
+    from gifgan_tpu.serve.webcam import WebcamBackend
+    from gifgan_tpu.serve.webcam import serve as serve_webcam
+
+    cfg = DCGANConfig(output_size=32, c_dim=3, z_dim=Z, gf_dim=8, df_dim=8)
+    params, state = dcgan.init(key, cfg)
+    backend = WebcamBackend(params, state, cfg, str(tmp_path / "out"),
+                            steps=2, batch_size=2)
+    server = serve_webcam(backend, port=0, background=True)
+    port = server.server_address[1]
+    try:
+        status, body = _claim_big_body("127.0.0.1", port, "/animate",
+                                       MAX_IMAGE_BODY + 1)
+        assert status == 413
+        assert "exceeds" in body["msg"]
+        # at the limit is still accepted by the cap (decoding then fails on
+        # the truncated payload, but that is a 500 from imread, not a 413)
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("POST", "/animate", body=b"notapng")
+        assert conn.getresponse().status == 500
+        conn.close()
+    finally:
+        server.shutdown()
+
+
+def test_explorer_and_survey_oversized_body_rejected(core, tmp_path):
+    from gifgan_tpu.serve.http_common import MAX_FORM_BODY
+    from gifgan_tpu.serve.survey import SurveyServer
+    from gifgan_tpu.serve.survey import serve as serve_survey
+
+    server = serve(core, port=0, background=True)
+    port = server.server_address[1]
+    try:
+        status, body = _claim_big_body("127.0.0.1", port, "/update_step_size",
+                                       MAX_FORM_BODY + 1)
+        assert status == 413, body
+    finally:
+        server.shutdown()
+
+    (tmp_path / "sv").mkdir()
+    survey = SurveyServer(str(tmp_path / "sv"))
+    server = serve_survey(survey, port=0, background=True)
+    port = server.server_address[1]
+    try:
+        status, body = _claim_big_body("127.0.0.1", port, "/response",
+                                       MAX_FORM_BODY + 1)
+        assert status == 413, body
+    finally:
+        server.shutdown()
+
+
+@pytest.fixture(scope="module")
+def tls_pair(tmp_path_factory):
+    """Self-signed localhost cert via the system openssl (SAN required —
+    Python's client validation ignores bare CN)."""
+    import shutil
+    import subprocess
+
+    if not shutil.which("openssl"):
+        pytest.skip("no openssl binary")
+    d = tmp_path_factory.mktemp("tls")
+    cert, keyf = str(d / "cert.pem"), str(d / "key.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-days", "1", "-subj", "/CN=localhost",
+         "-addext", "subjectAltName=DNS:localhost,IP:127.0.0.1",
+         "-keyout", keyf, "-out", cert],
+        check=True, capture_output=True)
+    return cert, keyf
+
+
+def test_webcam_service_tls_roundtrip(tmp_path, key, tls_pair):
+    """serve(tls_cert=..., tls_key=...) answers HTTPS end-to-end, including
+    the animate_via_service client with tls_ca pinned to the self-signed
+    cert; a plain-HTTP probe against the TLS port fails."""
+    import ssl
+    import urllib.error
+
+    from gifgan_tpu.serve.webcam import WebcamBackend, animate_via_service
+    from gifgan_tpu.serve.webcam import serve as serve_webcam
+
+    cert, keyf = tls_pair
+    cfg = DCGANConfig(output_size=32, c_dim=3, z_dim=Z, gf_dim=8, df_dim=8)
+    params, state = dcgan.init(key, cfg)
+    backend = WebcamBackend(params, state, cfg, str(tmp_path / "out"),
+                            steps=2, batch_size=2)
+    server = serve_webcam(backend, port=0, background=True,
+                          auth_token="tok", tls_cert=cert, tls_key=keyf)
+    port = server.server_address[1]
+    base = f"https://127.0.0.1:{port}"
+    try:
+        ctx = ssl.create_default_context(cafile=cert)
+        with urllib.request.urlopen(base + "/health", timeout=10,
+                                    context=ctx) as r:
+            assert json.loads(r.read())["status"] == "ok"
+        face = np.random.default_rng(0).integers(
+            0, 255, (cfg.output_size, cfg.output_size, 3)).astype(np.uint8)
+        result = animate_via_service(base, face, auth_token="tok",
+                                     tls_ca=cert)
+        assert result["response"] == "success"
+        with pytest.raises((urllib.error.URLError, ConnectionError, OSError)):
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/health",
+                                   timeout=10)
+    finally:
+        server.shutdown()
+
+
+def test_explorer_tls(core, tls_pair):
+    import ssl
+
+    cert, keyf = tls_pair
+    server = serve(core, port=0, background=True, tls_cert=cert,
+                   tls_key=keyf)
+    port = server.server_address[1]
+    try:
+        ctx = ssl.create_default_context(cafile=cert)
+        with urllib.request.urlopen(
+                f"https://127.0.0.1:{port}/test_success", timeout=10,
+                context=ctx) as r:
+            assert json.loads(r.read())["response"] == "success"
+    finally:
+        server.shutdown()
