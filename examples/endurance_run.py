@@ -1,0 +1,259 @@
+"""Endurance run: hours-scale flagship VID_DCGAN training with collapse
+diagnostics, periodic checkpoints, track-rate trend evals, and kill/resume.
+
+Round-1 verdict item 3: the longest documented runs were 150-6000 steps;
+the reference trained epochs over ~202k images (time_script.py:18). This
+script drives the chunked flagship path (train_chunk, K steps per dispatch)
+for a wall-clock budget, logging the reference's collapse early-warning
+signal (per-batch activation std, z_model_lib.py:220-249) plus the
+face-track-rate quality proxy at a fixed cadence, checkpointing for exact
+resume (params + opt slots + BN state), and surviving kill -9 mid-run.
+
+Design for the 1-core host + ~35 MB/s relay:
+  - the synthetic corpus is generated once, uploaded once (uint8), and every
+    chunk's (K, B*T, s, s, 3) frame stack is gathered + scaled ON DEVICE
+    (a jitted prep program) — the host never touches frame data in the loop
+  - eval/checkpoint cadences are in chunks (1 chunk = K optimizer steps)
+
+Usage:
+  python examples/endurance_run.py --run-dir runs/endurance --hours 2
+  # kill it at any point; then:
+  python examples/endurance_run.py --run-dir runs/endurance --hours 2  # resumes
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--run-dir", default="runs/endurance")
+    p.add_argument("--hours", type=float, default=2.0)
+    p.add_argument("--max-chunks", type=int, default=0,
+                   help="optional hard chunk limit (0 = wall-clock only)")
+    p.add_argument("--corpus-clips", type=int, default=4096)
+    p.add_argument("--chunk", type=int, default=80)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--image-noise", type=float, default=0.1)
+    p.add_argument("--activation-noise", type=float, default=0.1)
+    p.add_argument("--img-gan-steps", type=int, default=2000)
+    p.add_argument("--ckpt-every-chunks", type=int, default=150)
+    p.add_argument("--eval-every-chunks", type=int, default=150)
+    p.add_argument("--eval-clips", type=int, default=32)
+    p.add_argument("--final-eval-clips", type=int, default=256)
+    p.add_argument("--cascade", default=None,
+                   help="frontalface cascade XML for the track-rate eval "
+                        "(default: conventional locations via "
+                        "find_default_cascade; evals are skipped with a "
+                        "warning if none is found)")
+    return p.parse_args()
+
+
+def ensure_image_gan(run_dir: str, steps: int) -> str:
+    """Phase 0: train the nested image GAN via the tested CLI path."""
+    img_dir = os.path.join(run_dir, "img")
+    ckpt = os.path.join(img_dir, "checkpoints")
+    if os.path.isdir(ckpt) and os.listdir(ckpt):
+        return ckpt
+    print(f"[endurance] phase 0: image GAN {steps} steps", flush=True)
+    subprocess.run([
+        sys.executable, "-m", "gifgan_tpu", "train-dcgan",
+        "--run-dir", img_dir, "--dataset", "synthetic",
+        "--dataset-size", "4096", "--batch-size", "64",
+        "--output-size", "64", "--c-dim", "3",
+        "--steps-limit", str(steps), "--sample-every", "0",
+        "--compute-dtype", "bfloat16", "--image-noise", "0.1",
+    ], check=True)
+    return ckpt
+
+
+def main():
+    args = parse_args()
+    os.makedirs(args.run_dir, exist_ok=True)
+    img_ckpt = ensure_image_gan(args.run_dir, args.img_gan_steps)
+
+    import jax
+    import jax.numpy as jnp
+
+    from gifgan_tpu.core import checkpoint
+    from gifgan_tpu.core.cache import enable_compile_cache
+    from gifgan_tpu.core.config import (DCGANConfig, TrainConfig,
+                                        VidGANConfig)
+    from gifgan_tpu.data.synthetic import synthetic_clips
+    from gifgan_tpu.eval.track_rate import EVAL_TRACK_CONFIG, face_track_rate
+    from gifgan_tpu.track.detect import default_detector
+    from gifgan_tpu.train import vid as vid_train
+
+    enable_compile_cache()
+
+    img = DCGANConfig(output_size=64, c_dim=3, z_dim=100,
+                      compute_dtype="bfloat16", noise_std=args.image_noise)
+    cfg = VidGANConfig(z_input_size=120, z_output_size=100, vid_length=16,
+                       image_gan=img, first_frame_loss_scalar=1.0,
+                       compute_dtype="bfloat16",
+                       image_noise_std=args.image_noise,
+                       activation_noise_std=args.activation_noise)
+    tcfg = TrainConfig(batch_size=args.batch, disc_updates=1, gen_updates=2)
+    K, B, T = args.chunk, args.batch, cfg.vid_length
+
+    ckpt_dir = os.path.join(args.run_dir, "checkpoints")
+    log_path = os.path.join(args.run_dir, "endurance.jsonl")
+
+    ts = vid_train.init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    start_chunk = 0
+    prior_wall = 0.0
+    resumed = False
+    if checkpoint.latest_step(ckpt_dir) is not None:
+        step = checkpoint.latest_step(ckpt_dir)
+        ts = checkpoint.restore(ckpt_dir, ts)
+        start_chunk = step // K
+        resumed = True
+        # recover accumulated wall-clock from the log
+        try:
+            with open(log_path) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec.get("kind") == "chunk" and \
+                            rec["chunk"] < start_chunk:
+                        prior_wall = max(prior_wall, rec["wall_s"])
+        except OSError:
+            pass
+        print(f"[endurance] RESUMED at step {step} (chunk {start_chunk}, "
+              f"prior wall {prior_wall:.0f}s)", flush=True)
+    else:
+        ts = vid_train.load_image_gan(ts, img_ckpt)
+        print("[endurance] fresh start: image GAN grafted, frozen",
+              flush=True)
+
+    # corpus: generated once on host, resident on device as uint8 clips
+    print(f"[endurance] generating {args.corpus_clips}-clip corpus",
+          flush=True)
+    corpus = synthetic_clips(args.corpus_clips, length=T, size=64)  # u8
+    data = jnp.asarray(corpus)  # (N, T, 64, 64, 3) uint8 on device
+    del corpus
+
+    @jax.jit
+    def prep(data_u8, idx):
+        """(N,T,s,s,3) u8 + (K,B) clip ids -> (K, B*T, s, s, 3) f32 in
+        [-1,1]; gather + scale fused on device."""
+        g = jnp.take(data_u8, idx, axis=0)          # (K, B, T, s, s, 3)
+        g = g.astype(jnp.float32) / 127.5 - 1.0
+        return g.reshape(K, B * T, 64, 64, 3)
+
+    from gifgan_tpu.track.detect import find_default_cascade
+
+    cascade = args.cascade or find_default_cascade()
+    detector = (default_detector(cascade_path=cascade, min_neighbors=2,
+                                 min_size=20) if cascade else None)
+    if detector is None:
+        print("[endurance] WARNING: no cascade XML found — track-rate "
+              "evals will be skipped", flush=True)
+
+    def eval_track_rate(ts, n_clips, key):
+        if detector is None:
+            return {"rate": None, "tracked": 0, "total": 0}
+        # fixed sampler batch (= --eval-clips) so the 256-clip final eval
+        # reuses the SAME compiled program as the periodic evals — each new
+        # shape costs minutes of remote compile through the relay
+        tracked = total = 0
+        for i in range(0, n_clips, args.eval_clips):
+            kb = jax.random.fold_in(key, i)
+            z = jax.random.uniform(kb, (args.eval_clips, cfg.z_input_size),
+                                   minval=-1.0, maxval=1.0)
+            vids = vid_train.sample_videos(ts, z, cfg)  # (n,T,s,s,3) [-1,1]
+            vids = np.asarray(jnp.clip((vids + 1.0) * 127.5, 0, 255)
+                              ).astype(np.uint8)
+            take = min(args.eval_clips, n_clips - i)
+            ups = np.repeat(np.repeat(vids[:take], 2, 2), 2, 3)  # 2x upscale
+            r = face_track_rate(list(ups), detector, EVAL_TRACK_CONFIG)
+            tracked += r["tracked"]
+            total += r["total"]
+        return {"rate": tracked / max(total, 1), "tracked": tracked,
+                "total": total}
+
+    def log(rec):
+        with open(log_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    # deterministic-per-chunk sampling so a resume continues the same
+    # nominal data stream
+    def chunk_idx(c):
+        r = np.random.default_rng(10_000 + c)
+        return jnp.asarray(r.integers(0, args.corpus_clips, (K, B)))
+
+    t_start = time.time()
+    deadline = t_start + args.hours * 3600 - prior_wall
+    c = start_chunk
+    log({"kind": "start", "chunk": c, "resumed": resumed,
+         "prior_wall_s": prior_wall, "time": time.time(),
+         "config": {"K": K, "B": B, "corpus": args.corpus_clips,
+                    "image_noise": args.image_noise,
+                    "activation_noise": args.activation_noise}})
+
+    try:
+        while time.time() < deadline:
+            if args.max_chunks and c - start_chunk >= args.max_chunks:
+                break
+            t0 = time.perf_counter()
+            frames = prep(data, chunk_idx(c))
+            z = jax.random.uniform(jax.random.PRNGKey(50_000 + c),
+                                   (K, B, cfg.z_input_size),
+                                   minval=-1.0, maxval=1.0)
+            ts, m = vid_train.train_chunk(ts, frames, z,
+                                          jax.random.PRNGKey(c), cfg, tcfg)
+            d_loss = float(np.asarray(m["d_loss"][-1]))  # sync point
+            dt = time.perf_counter() - t0
+            c += 1
+            rec = {"kind": "chunk", "chunk": c, "step": c * K,
+                   "wall_s": prior_wall + (time.time() - t_start),
+                   "dt_s": round(dt, 3),
+                   "steps_per_s": round(K / dt, 2),
+                   "d_loss": d_loss}
+            for k in ("g_loss", "first_frame_loss", "fake_activation_std",
+                      "real_activation_std", "images_std", "d_loss_fake",
+                      "d_loss_real"):
+                if k in m:
+                    rec[k] = float(np.asarray(m[k][-1]))
+            log(rec)
+            if c % 10 == 0:
+                print(f"[endurance] chunk {c} step {c * K} "
+                      f"{rec['steps_per_s']:.1f} steps/s d={d_loss:.3f} "
+                      f"g={rec.get('g_loss', 0):.3f} "
+                      f"fstd={rec.get('fake_activation_std', 0):.3f} "
+                      f"rstd={rec.get('real_activation_std', 0):.3f}",
+                      flush=True)
+            if c % args.ckpt_every_chunks == 0:
+                checkpoint.save(ckpt_dir, c * K, ts, max_to_keep=3)
+                log({"kind": "ckpt", "chunk": c, "step": c * K,
+                     "wall_s": prior_wall + (time.time() - t_start)})
+            if c % args.eval_every_chunks == 0:
+                ev = eval_track_rate(ts, args.eval_clips,
+                                     jax.random.PRNGKey(777))
+                ev.update({"kind": "eval", "chunk": c, "step": c * K,
+                           "wall_s": prior_wall + (time.time() - t_start)})
+                log(ev)
+                print(f"[endurance] eval @step {c * K}: track-rate "
+                      f"{ev['tracked']}/{ev['total']}", flush=True)
+    finally:
+        checkpoint.save(ckpt_dir, c * K, ts, max_to_keep=3)
+        log({"kind": "final_ckpt", "chunk": c, "step": c * K,
+             "wall_s": prior_wall + (time.time() - t_start)})
+
+    ev = eval_track_rate(ts, args.final_eval_clips, jax.random.PRNGKey(999))
+    ev.update({"kind": "final_eval", "chunk": c, "step": c * K,
+               "wall_s": prior_wall + (time.time() - t_start)})
+    log(ev)
+    print(f"[endurance] DONE: {c * K} steps, final track-rate "
+          f"{ev['tracked']}/{ev['total']}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,8 @@ from __future__ import annotations
 from typing import Callable, List, Optional, Sequence
 
 import math
+import os
+
 import numpy as np
 
 from gifgan_tpu.track.boxes import Detection
@@ -144,6 +146,27 @@ def mssim(a, b, window: int = 8) -> "jax.Array":
     ssim_map = (((2 * mu_a * mu_b + C1) * (2 * cov + C2)) /
                 ((mu_a * mu_a + mu_b * mu_b + C1) * (var_a + var_b + C2)))
     return jnp.mean(ssim_map, axis=(1, 2, 3))
+
+
+# Conventional locations for the frontalface_alt2 cascade (model DATA, not
+# code — the reference likewise ships OpenCV's XML verbatim in
+# demo/classifier_configs/). Nothing is bundled here; we look in the user's
+# home and the system OpenCV share dir.
+_CASCADE_SEARCH = (
+    os.path.expanduser("~/haarcascade_frontalface_alt2.xml"),
+    "/usr/share/opencv4/haarcascades/haarcascade_frontalface_alt2.xml",
+    "/usr/share/opencv/haarcascades/haarcascade_frontalface_alt2.xml",
+)
+
+
+def find_default_cascade() -> Optional[str]:
+    """First frontalface_alt2.xml found in the conventional locations, or
+    None. Lets tools default their --cascade flag without bundling the
+    (user-supplied) model file."""
+    for p in _CASCADE_SEARCH:
+        if os.path.exists(p):
+            return p
+    return None
 
 
 def default_detector(cascade_path: Optional[str] = None,
