@@ -16,6 +16,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SEQ_AXIS = "seq"
 MODEL_AXIS = "model"
 
 
@@ -23,23 +24,31 @@ def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     data_parallel: int = 0,
     model_parallel: int = 1,
+    seq_parallel: int = 1,
 ) -> Mesh:
-    """Build a (data, model) mesh.
+    """Build a (data, seq, model) mesh.
 
     data_parallel == 0 means "all remaining devices on the data axis".
+    The `seq` axis shards the time dimension of video clips (sequence
+    parallelism, parallel/sp.py); it is size 1 unless requested, so plain
+    DP/TP meshes carry it inertly (a size-1 axis never shards anything).
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if model_parallel <= 0:
         model_parallel = 1
+    if seq_parallel <= 0:
+        seq_parallel = 1
     if data_parallel <= 0:
-        data_parallel = n // model_parallel
-    if data_parallel * model_parallel != n:
+        data_parallel = n // (model_parallel * seq_parallel)
+    if data_parallel * model_parallel * seq_parallel != n:
         raise ValueError(
-            f"mesh {data_parallel}x{model_parallel} != {n} devices")
-    arr = np.asarray(devices).reshape(data_parallel, model_parallel)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+            f"mesh {data_parallel}x{seq_parallel}x{model_parallel} "
+            f"!= {n} devices")
+    arr = np.asarray(devices).reshape(data_parallel, seq_parallel,
+                                      model_parallel)
+    return Mesh(arr, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
 
 
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:

@@ -18,7 +18,7 @@ IMG = DCGANConfig(output_size=32, c_dim=1, z_dim=16, gf_dim=8, df_dim=8)
 
 def test_mesh_and_placement(key):
     mesh = make_mesh(data_parallel=8)
-    assert mesh.shape == {"data": 8, "model": 1}
+    assert mesh.shape == {"data": 8, "seq": 1, "model": 1}
     x = np.zeros((16, 4), np.float32)
     xs = shard_batch_arrays(mesh, x)
     assert xs.sharding.spec == P(DATA_AXIS, None)
