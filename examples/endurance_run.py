@@ -45,10 +45,19 @@ def parse_args():
     p.add_argument("--image-noise", type=float, default=0.1)
     p.add_argument("--activation-noise", type=float, default=0.1)
     p.add_argument("--img-gan-steps", type=int, default=2000)
+    p.add_argument("--img-gan-batch", type=int, default=64)
+    p.add_argument("--img-gan-dataset", type=int, default=4096)
+    p.add_argument("--dtype", default="bfloat16",
+                   help="compute dtype (use float32 for CPU smoke tests — "
+                        "bf16 is emulated and ~100x slower on CPU)")
     p.add_argument("--ckpt-every-chunks", type=int, default=150)
     p.add_argument("--eval-every-chunks", type=int, default=150)
     p.add_argument("--eval-clips", type=int, default=32)
     p.add_argument("--final-eval-clips", type=int, default=256)
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu) for smoke tests; "
+                        "exported as GIFGAN_PLATFORM to the phase-0 "
+                        "subprocess")
     p.add_argument("--cascade", default=None,
                    help="frontalface cascade XML for the track-rate eval "
                         "(default: conventional locations via "
@@ -57,30 +66,38 @@ def parse_args():
     return p.parse_args()
 
 
-def ensure_image_gan(run_dir: str, steps: int) -> str:
+def ensure_image_gan(run_dir: str, args) -> str:
     """Phase 0: train the nested image GAN via the tested CLI path."""
     img_dir = os.path.join(run_dir, "img")
     ckpt = os.path.join(img_dir, "checkpoints")
     if os.path.isdir(ckpt) and os.listdir(ckpt):
         return ckpt
-    print(f"[endurance] phase 0: image GAN {steps} steps", flush=True)
+    print(f"[endurance] phase 0: image GAN {args.img_gan_steps} steps",
+          flush=True)
     subprocess.run([
         sys.executable, "-m", "gifgan_tpu", "train-dcgan",
         "--run-dir", img_dir, "--dataset", "synthetic",
-        "--dataset-size", "4096", "--batch-size", "64",
+        "--dataset-size", str(args.img_gan_dataset),
+        "--batch-size", str(args.img_gan_batch),
         "--output-size", "64", "--c-dim", "3",
-        "--steps-limit", str(steps), "--sample-every", "0",
-        "--compute-dtype", "bfloat16", "--image-noise", "0.1",
+        "--steps-limit", str(args.img_gan_steps), "--sample-every", "0",
+        "--compute-dtype", args.dtype,
+        "--image-noise", str(args.image_noise),
     ], check=True)
     return ckpt
 
 
 def main():
     args = parse_args()
+    if args.platform:
+        os.environ["GIFGAN_PLATFORM"] = args.platform
     os.makedirs(args.run_dir, exist_ok=True)
-    img_ckpt = ensure_image_gan(args.run_dir, args.img_gan_steps)
+    img_ckpt = ensure_image_gan(args.run_dir, args)
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from gifgan_tpu.core import checkpoint
@@ -95,10 +112,10 @@ def main():
     enable_compile_cache()
 
     img = DCGANConfig(output_size=64, c_dim=3, z_dim=100,
-                      compute_dtype="bfloat16", noise_std=args.image_noise)
+                      compute_dtype=args.dtype, noise_std=args.image_noise)
     cfg = VidGANConfig(z_input_size=120, z_output_size=100, vid_length=16,
                        image_gan=img, first_frame_loss_scalar=1.0,
-                       compute_dtype="bfloat16",
+                       compute_dtype=args.dtype,
                        image_noise_std=args.image_noise,
                        activation_noise_std=args.activation_noise)
     tcfg = TrainConfig(batch_size=args.batch, disc_updates=1, gen_updates=2)

@@ -270,6 +270,39 @@ def cmd_make_paths(args):
           f"{', '.join(sorted(paths))}")
 
 
+def cmd_derive_paths(args):
+    """Curate data-derived expression paths from z-extract trajectories
+    (the reference's manual_paths workflow, run_webcam_demo:46-48 +
+    z_space_finder.py outputs, automated)."""
+    from gifgan_tpu.demo import (derive_paths, load_trajectories,
+                                 make_expression_paths, pca_directions,
+                                 write_paths)
+
+    trajs = load_trajectories(args.traj_dir)
+    if not trajs:
+        raise SystemExit(f"no (T, z_dim) .npy trajectories in "
+                         f"{args.traj_dir}")
+    paths = derive_paths(trajs, top_k=args.top_k,
+                         smooth_window=args.smooth_window,
+                         magnitude=args.magnitude,
+                         jerk_weight=args.jerk_weight)
+    if args.pca:
+        dirs = pca_directions(trajs, n_directions=max(args.pca, 7))
+        if dirs.shape[0] < 7:   # EXPRESSIONS indexes directions 0..6
+            print(f"warning: only {dirs.shape[0]} PCA directions available "
+                  f"(< 7 needed for the named expression set) — skipping "
+                  f"the pca_* paths")
+        else:
+            frames = next(iter(trajs.values())).shape[0]
+            for name, p_arr in make_expression_paths(
+                    dirs.shape[1], frames=frames,
+                    directions=dirs).items():
+                paths[f"pca_{name}"] = p_arr
+    write_paths(args.out_dir, paths)
+    print(f"derived {len(paths)} paths from {len(trajs)} trajectories "
+          f"-> {args.out_dir}: {', '.join(sorted(paths))}")
+
+
 def cmd_visualize(args):
     """Per-dimension z-sweep grids (the reference's utils.visualize modes
     0-4, utils.py:149-202)."""
@@ -713,6 +746,13 @@ def _add_tls_args(p):
 
 
 def main(argv=None):
+    # GIFGAN_PLATFORM=cpu forces the backend for subprocess smoke tests
+    # (this image's sitecustomize overrides the JAX_PLATFORMS env var, so
+    # the switch must go through jax.config before any backend initializes).
+    if os.environ.get("GIFGAN_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["GIFGAN_PLATFORM"])
     _enable_compile_cache()
     parser = argparse.ArgumentParser(prog="gifgan_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -808,6 +848,23 @@ def main(argv=None):
     p.add_argument("--magnitude", type=float, default=0.8)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_make_paths)
+
+    p = sub.add_parser(
+        "derive-paths",
+        help="derive expression paths from extracted z-trajectories")
+    p.add_argument("--traj-dir", required=True,
+                   help="z-extract output dir of per-clip (T, z_dim) .npy")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--top-k", type=int, default=4)
+    p.add_argument("--smooth-window", type=int, default=3)
+    p.add_argument("--magnitude", type=float, default=0.0,
+                   help="rescale so the peak frame-delta norm equals this "
+                        "(0 = keep the empirical scale)")
+    p.add_argument("--jerk-weight", type=float, default=2.0)
+    p.add_argument("--pca", type=int, default=0,
+                   help="additionally emit the procedural expression set "
+                        "riding the top-N PCA motion directions")
+    p.set_defaults(fn=cmd_derive_paths)
 
     p = sub.add_parser("visualize", help="z-sweep sample grids (5 modes)")
     p.add_argument("--checkpoint", required=True)
