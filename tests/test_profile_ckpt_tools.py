@@ -178,3 +178,32 @@ def test_ckpt_downgrade_cli(tmp_path):
               "--input-prefix", os.path.join(FIXDIR, "ref.ckpt"),
               "--output", out])
     assert len(read_tf_checkpoint(out)) == 48
+
+
+def test_summarize_trace_aggregates_device_ops(tmp_path):
+    """Capture a real (CPU) jax.profiler trace of a matmul-heavy program and
+    check the summary isolates HLO ops: dot time dominates, python-frame and
+    runtime rows are excluded, percentages sum to ~100."""
+    import jax
+
+    from gifgan_tpu.core.profile import summarize_trace, trace
+
+    @jax.jit
+    def f(x, w):
+        for _ in range(3):
+            x = jnp.tanh(x @ w)
+        return x
+
+    x = jnp.asarray(np.random.default_rng(0).random((128, 256)), jnp.float32)
+    w = jnp.asarray(np.random.default_rng(1).random((256, 256)), jnp.float32)
+    f(x, w).block_until_ready()          # compile outside the capture
+    with trace(str(tmp_path)):
+        f(x, w).block_until_ready()
+
+    s = summarize_trace(str(tmp_path), top=10)
+    assert s["total_us"] > 0
+    cats = s["by_category"]
+    assert max(cats, key=cats.get) == "dot"
+    for name, _, _ in s["ops"]:
+        assert not name.startswith("$") and " " not in name
+    assert abs(sum(p for _, _, p in s["ops"]) - 100.0) < 30.0  # top-10 cover
