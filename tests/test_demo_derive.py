@@ -114,3 +114,41 @@ def test_cli_derive_paths_roundtrip(tmp_path, capsys):
     for name, p in loaded.items():
         assert p.shape == (T, Z)
         assert np.allclose(p[0], 0.0, atol=1e-6)
+
+
+def test_derived_path_drives_webcam_backend(tmp_path):
+    """The full empirical loop, CI-sized: synthetic trajectories -> derive ->
+    write protocol files -> load into the webcam backend -> animate — the
+    reference's manual_paths-to-run_webcam_demo hand-off, automated
+    (run_webcam_demo:46-48)."""
+    import pytest
+
+    pytest.importorskip("cv2")
+    import os
+
+    import jax
+
+    from gifgan_tpu.core.config import DCGANConfig
+    from gifgan_tpu.demo import derive_paths, write_paths
+    from gifgan_tpu.models import dcgan
+    from gifgan_tpu.serve.webcam import WebcamBackend, load_latent_paths
+
+    rng = np.random.default_rng(7)
+    trajs = {f"clip{i}": _smooth_traj(rng, scale=1 + 0.2 * i)
+             for i in range(4)}
+    pdir = tmp_path / "derived"
+    write_paths(str(pdir), derive_paths(trajs, top_k=2, magnitude=0.3))
+    loaded = load_latent_paths(str(pdir), Z)
+    assert len(loaded) == 2 and all(n.startswith("data_") for n in loaded)
+
+    cfg = DCGANConfig(output_size=32, c_dim=3, z_dim=Z, gf_dim=8, df_dim=8)
+    params, state = dcgan.init(jax.random.PRNGKey(0), cfg)
+    boost = lambda t: jax.tree_util.tree_map(lambda x: x * 6.0, t)  # noqa
+    params = dcgan.DCGANParams(boost(params.generator),
+                               boost(params.discriminator))
+    backend = WebcamBackend(params, state, cfg, str(tmp_path / "out"),
+                            paths=loaded, steps=10, batch_size=4)
+    face = rng.integers(0, 256, (32, 32, 3), np.uint8)
+    result = backend.animate(face)
+    assert set(result["paths"]) == set(loaded)
+    assert all(os.path.exists(p) for p in result["paths"].values())
