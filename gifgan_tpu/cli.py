@@ -46,7 +46,7 @@ def _train_cfg(args):
 
     return TrainConfig(
         batch_size=args.batch_size, learning_rate=args.learning_rate,
-        beta1=args.beta1, disc_updates=args.disc_updates,
+        d_learning_rate=args.d_learning_rate, beta1=args.beta1, disc_updates=args.disc_updates,
         gen_updates=args.gen_updates, epochs=args.epochs,
         sample_every=args.sample_every,
         checkpoint_every=args.checkpoint_every,
@@ -59,6 +59,8 @@ def _train_cfg(args):
 def _add_train_args(p, batch=64):
     p.add_argument("--batch-size", type=int, default=batch)
     p.add_argument("--learning-rate", type=float, default=2e-4)
+    p.add_argument("--d-learning-rate", type=float, default=None,
+                   help="TTUR: discriminator-specific LR (default: shared)")
     p.add_argument("--beta1", type=float, default=0.5)
     p.add_argument("--disc-updates", type=int, default=1)
     p.add_argument("--gen-updates", type=int, default=2)

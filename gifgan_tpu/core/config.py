@@ -96,6 +96,11 @@ class TrainConfig:
 
     batch_size: int = 64
     learning_rate: float = 2e-4
+    # TTUR: discriminator-specific learning rate (None = learning_rate).
+    # Not in the reference (it shares 2e-4); added because D saturates on
+    # easy corpora (endurance run: d_loss -> 1e-9 by step 10k) and slowing
+    # D is the standard two-time-scale fix alongside instance noise.
+    d_learning_rate: Optional[float] = None
     beta1: float = 0.5
     disc_updates: int = 1
     gen_updates: int = 2           # "run g_optim twice" (model.py:236-239)

@@ -34,9 +34,15 @@ class TrainState(NamedTuple):
     step: Array
 
 
-def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+def make_optimizer(tcfg: TrainConfig,
+                   role: str = "g") -> optax.GradientTransformation:
     # TF AdamOptimizer defaults: beta2=0.999, eps=1e-8 (model.py:153-156).
-    return optax.adam(tcfg.learning_rate, b1=tcfg.beta1, b2=0.999, eps=1e-8)
+    # role="d" honors tcfg.d_learning_rate (TTUR; None = shared LR). The
+    # Adam state pytree is LR-independent, so either role can init slots.
+    lr = tcfg.learning_rate
+    if role == "d" and tcfg.d_learning_rate is not None:
+        lr = tcfg.d_learning_rate
+    return optax.adam(lr, b1=tcfg.beta1, b2=0.999, eps=1e-8)
 
 
 def init_train_state(key, cfg: DCGANConfig, tcfg: TrainConfig) -> TrainState:
@@ -120,14 +126,15 @@ def train_step(ts: TrainState, images: Array, z: Array, rng,
                cfg: DCGANConfig, tcfg: TrainConfig) -> Tuple[TrainState, Dict]:
     """One full batch: `disc_updates` D updates + `gen_updates` G updates
     (1 + 2 in the reference, model.py:226-239), one XLA program."""
-    opt = make_optimizer(tcfg)
+    opt_g, opt_d = make_optimizer(tcfg, "g"), make_optimizer(tcfg, "d")
     metrics = {}
     keys = jax.random.split(rng, tcfg.disc_updates + tcfg.gen_updates)
     for i in range(tcfg.disc_updates):
-        ts, d_metrics = _d_step(ts, images, z, keys[i], cfg, opt)
+        ts, d_metrics = _d_step(ts, images, z, keys[i], cfg, opt_d)
         metrics.update(d_metrics)
     for i in range(tcfg.gen_updates):
-        ts, g_metrics = _g_step(ts, z, keys[tcfg.disc_updates + i], cfg, opt)
+        ts, g_metrics = _g_step(ts, z, keys[tcfg.disc_updates + i], cfg,
+                                opt_g)
         metrics.update(g_metrics)
     ts = ts._replace(step=ts.step + 1)
     return ts, metrics
@@ -169,7 +176,8 @@ def cond_train_step(ts: CondTrainState, images: Array, y: Array, z: Array,
     """Label-conditioned D+G updates (images in [0, 1], one-hot y).
     Instance noise (cfg.noise_std) applies to the real path like the
     reference's noisy_images (model.py:82,100)."""
-    opt = make_optimizer(tcfg)
+    opt = make_optimizer(tcfg, "g")
+    opt_disc = make_optimizer(tcfg, "d")
     metrics = {}
     keys = jax.random.split(rng, tcfg.disc_updates + 1)
     for u in range(tcfg.disc_updates):
@@ -188,7 +196,8 @@ def cond_train_step(ts: CondTrainState, images: Array, y: Array, z: Array,
 
         (d_loss, (lr_v, lf_v, disc_bn)), grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(ts.params.discriminator)
-        updates, opt_d = opt.update(grads, ts.opt_d, ts.params.discriminator)
+        updates, opt_d = opt_disc.update(grads, ts.opt_d,
+                                         ts.params.discriminator)
         ts = ts._replace(
             params=ts.params._replace(
                 discriminator=optax.apply_updates(ts.params.discriminator,

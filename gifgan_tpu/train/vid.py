@@ -193,11 +193,11 @@ def train_step(ts: VidTrainState, frames: Array, z: Array, rng,
     `frames` is time-folded (B*T, s, s, c) — the layout the whole stack
     standardizes on so frames shard over the mesh data axis like batch.
     """
-    opt = make_optimizer(tcfg)
+    opt_g, opt_d = make_optimizer(tcfg, "g"), make_optimizer(tcfg, "d")
     metrics = {"images_std": nn.get_std(frames.reshape(frames.shape[0], -1))}
     keys = jax.random.split(rng, tcfg.disc_updates + tcfg.gen_updates)
     for i in range(tcfg.disc_updates):
-        ts, m = _d_step(ts, frames, z, keys[i], cfg, tcfg, opt)
+        ts, m = _d_step(ts, frames, z, keys[i], cfg, tcfg, opt_d)
         metrics.update(m)
     # NOTE: the repeated G updates stay Python-unrolled on purpose. A
     # lax.scan over the G update compiles ~25% smaller/faster (8.7 vs
@@ -205,7 +205,8 @@ def train_step(ts: VidTrainState, frames: Array, z: Array, rng,
     # flagship shape — the scan carry copies the full train state between
     # iterations. Runtime wins; bench.py hides the compile instead.
     for i in range(tcfg.gen_updates):
-        ts, m = _g_step(ts, z, keys[tcfg.disc_updates + i], cfg, tcfg, opt)
+        ts, m = _g_step(ts, z, keys[tcfg.disc_updates + i], cfg, tcfg,
+                        opt_g)
         metrics.update(m)
     ts = ts._replace(step=ts.step + 1)
     return ts, metrics

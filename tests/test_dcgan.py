@@ -91,3 +91,37 @@ def test_train_chunk(key):
     assert int(ts.step) == K
     assert metrics["d_loss"].shape == (K,)
     assert np.isfinite(np.asarray(metrics["g_loss"])).all()
+
+
+def test_ttur_d_learning_rate(key):
+    """d_learning_rate=0 freezes D while G still moves; None matches the
+    shared-LR step bit-for-bit (TTUR knob, core/config.TrainConfig)."""
+    import jax.tree_util as jtu
+
+    images = jnp.tanh(jax.random.normal(key, (8, 32, 32, 1)))
+    z = jax.random.uniform(key, (8, 16), minval=-1, maxval=1)
+
+    def one(tcfg):
+        # train_step donates its input state — keep only the output
+        ts = gan.init_train_state(jax.random.PRNGKey(0), CFG, tcfg)
+        ts2, _ = gan.train_step(ts, images, z, jax.random.PRNGKey(1), CFG,
+                                tcfg)
+        return ts2
+
+    frozen = one(TrainConfig(batch_size=8, d_learning_rate=0.0))
+    init = gan.init_train_state(jax.random.PRNGKey(0), CFG,
+                                TrainConfig(batch_size=8))
+    for a, b in zip(jtu.tree_leaves(init.params.discriminator),
+                    jtu.tree_leaves(frozen.params.discriminator)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    g_moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jtu.tree_leaves(init.params.generator),
+                        jtu.tree_leaves(frozen.params.generator)))
+    assert g_moved
+
+    shared = one(TrainConfig(batch_size=8))
+    explicit = one(TrainConfig(batch_size=8, d_learning_rate=2e-4))
+    for a, b in zip(jtu.tree_leaves(shared.params),
+                    jtu.tree_leaves(explicit.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
