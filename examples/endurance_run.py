@@ -43,6 +43,8 @@ def parse_args():
     p.add_argument("--chunk", type=int, default=80)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--image-noise", type=float, default=0.1)
+    p.add_argument("--d-learning-rate", type=float, default=None,
+                   help="TTUR: discriminator LR (default: shared 2e-4)")
     p.add_argument("--activation-noise", type=float, default=0.1)
     p.add_argument("--img-gan-steps", type=int, default=2000)
     p.add_argument("--img-gan-batch", type=int, default=64)
@@ -118,7 +120,8 @@ def main():
                        compute_dtype=args.dtype,
                        image_noise_std=args.image_noise,
                        activation_noise_std=args.activation_noise)
-    tcfg = TrainConfig(batch_size=args.batch, disc_updates=1, gen_updates=2)
+    tcfg = TrainConfig(batch_size=args.batch, disc_updates=1, gen_updates=2,
+                       d_learning_rate=args.d_learning_rate)
     K, B, T = args.chunk, args.batch, cfg.vid_length
 
     ckpt_dir = os.path.join(args.run_dir, "checkpoints")

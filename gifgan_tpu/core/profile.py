@@ -91,39 +91,73 @@ def summarize_trace(log_dir: str, top: int = 25) -> Dict:
     with gzip.open(paths[-1]) as f:
         events = _json.load(f)["traceEvents"]
 
-    durs: Dict[str, float] = {}
+    # device (TPU/xprof) traces nest ops under module/step container rows
+    # on sibling threads — keep ONLY the "XLA Ops" threads when present;
+    # CPU traces have no such thread and fall back to name filtering.
+    op_threads = {(e.get("pid"), e.get("tid"))
+                  for e in events
+                  if e.get("ph") == "M" and e.get("name") == "thread_name"
+                  and e.get("args", {}).get("name") == "XLA Ops"}
+
+    durs: Dict[str, Dict] = {}
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if op_threads and (e.get("pid"), e.get("tid")) not in op_threads:
             continue
         name = e.get("name", "")
         # keep only HLO-op rows: python frames start with "$", dispatch
         # wrappers with "PjitFunction(", and every runtime-internal row
         # ("Handle inputs", "end: ...", "Foo::Bar") contains a space or colon
-        # — HLO op names never do
+        # — HLO op names never do. Loop containers ("while...") enclose
+        # their body ops, which are logged separately: counting both would
+        # double the total.
         if (not name or name.startswith("$") or " " in name or ":" in name
                 or name.startswith("PjitFunction")
+                or name.startswith("while")
                 or name in ("ParseArguments", "CollectGarbage")):
             continue
-        durs[name] = durs.get(name, 0.0) + float(e["dur"])
+        args = e.get("args", {})
+        rec = durs.setdefault(name, {
+            "us": 0.0, "flops": 0.0, "bytes": 0.0,
+            "category": args.get("hlo_category", ""),
+            "source": args.get("source", "")})
+        rec["us"] += float(e["dur"])
+        # xprof totals (model_flops/bytes_accessed cover the event's whole
+        # dur across loop iterations, so rate = flops/us stays correct)
+        rec["flops"] += float(args.get("model_flops", 0) or 0)
+        rec["bytes"] += float(args.get("bytes_accessed", 0) or 0)
 
-    def category(name: str) -> str:
+    def category(name: str, rec) -> str:
+        if rec["category"]:
+            return rec["category"]
         base = name.split(".")[0].split("(")[0]
         for key in ("fusion", "convolution", "conv", "dot", "copy",
                     "all-reduce", "all-gather", "reduce-scatter", "scatter",
-                    "gather", "transpose", "reshape", "rng", "while",
+                    "gather", "transpose", "reshape", "rng",
                     "dynamic-update-slice", "dynamic-slice"):
             if key in base:
                 return key
         return base or "other"
 
-    total = sum(durs.values())
+    total = sum(r["us"] for r in durs.values())
     by_cat: Dict[str, float] = {}
-    for n, d in durs.items():
-        c = category(n)
-        by_cat[c] = by_cat.get(c, 0.0) + d
-    ops = sorted(durs.items(), key=lambda kv: -kv[1])[:top]
+    for n, r in durs.items():
+        c = category(n, r)
+        by_cat[c] = by_cat.get(c, 0.0) + r["us"]
+    ops = sorted(durs.items(), key=lambda kv: -kv[1]["us"])[:top]
     return {"total_us": total,
-            "ops": [(n, d, 100.0 * d / total if total else 0.0)
-                    for n, d in ops],
+            "ops": [(n, r["us"], 100.0 * r["us"] / total if total else 0.0)
+                    for n, r in ops],
+            "op_details": [
+                {"name": n, "us": r["us"],
+                 "pct": 100.0 * r["us"] / total if total else 0.0,
+                 "category": r["category"],
+                 "tflops": (r["flops"] / r["us"] / 1e6
+                            if r["us"] and r["flops"] else 0.0),
+                 "gbps": (r["bytes"] / r["us"] / 1e3
+                          if r["us"] and r["bytes"] else 0.0),
+                 "source": r["source"]}
+                for n, r in ops],
             "by_category": dict(sorted(by_cat.items(),
                                        key=lambda kv: -kv[1]))}

@@ -223,3 +223,34 @@ def test_clip_batches_from_files_worker_pool(tmp_path):
     b = [b.sum() for b in clip_batches_from_files(
         paths, 4, 6, 32, workers=1, shuffle=True, seed=5)]
     np.testing.assert_allclose(a, b)
+
+
+def test_device_corpus_matmul_matches_take():
+    """DeviceCorpus MXU formulation (one-hot @ bf16 corpus) is bit-exact
+    vs the jnp.take gather: uint8 values are exact in bf16 and the
+    contraction touches a single 1 per row."""
+    from gifgan_tpu.data.device import DeviceCorpus
+
+    rng = np.random.default_rng(0)
+    corpus = rng.integers(0, 256, (37, 4, 6, 6, 3), np.uint8)
+    idx = rng.integers(0, 37, (5, 3))
+    a = np.asarray(DeviceCorpus(corpus, method="matmul").sample(idx))
+    b = np.asarray(DeviceCorpus(corpus, method="take").sample(idx))
+    assert a.shape == (5, 3, 4, 6, 6, 3) and a.dtype == np.float32
+    np.testing.assert_array_equal(a, b)
+    # scaling: uint8 255 -> 1.0, 0 -> -1.0
+    assert a.max() <= 1.0000002 and a.min() >= -1.0000002
+    np.testing.assert_allclose(
+        a[0, 0], corpus[idx[0, 0]].astype(np.float32) / 127.5 - 1.0,
+        rtol=2e-5)   # XLA folds /127.5 into mul-by-reciprocal
+
+
+def test_device_corpus_rejects_bad_input():
+    from gifgan_tpu.data.device import DeviceCorpus
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        DeviceCorpus(np.zeros((4, 2, 2), np.float32))
+    with pytest.raises(ValueError):
+        DeviceCorpus(np.zeros((4, 2, 2), np.uint8), method="scatter")
