@@ -1,0 +1,60 @@
+"""Smoke + resume test for the endurance training script.
+
+examples/endurance_run.py is the long-run driver (VERDICT round-1 item 3:
+hours-scale training with diagnostics, checkpoints, kill/resume). This
+exercises the whole script end to end on tiny CPU shapes: phase-0 image
+GAN, corpus upload through the DeviceCorpus MXU sampler, train chunks,
+checkpoint write, and a second invocation that must RESUME from the saved
+step instead of starting fresh.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(REPO, "examples", "endurance_run.py")
+
+
+def _run(run_dir, max_chunks):
+    # single-device CPU: drop conftest's 8-device virtual mesh (tiny smoke
+    # batches aren't divisible by 8) and the image's axon platform pin
+    env = {**os.environ, "JAX_PLATFORMS": "", "XLA_FLAGS": ""}
+    return subprocess.run(
+        [sys.executable, SCRIPT, "--run-dir", run_dir,
+         "--hours", "0.05", "--max-chunks", str(max_chunks),
+         "--corpus-clips", "8", "--chunk", "2", "--batch", "2",
+         "--img-gan-steps", "1", "--img-gan-batch", "4",
+         "--img-gan-dataset", "8", "--dtype", "float32",
+         "--platform", "cpu", "--ckpt-every-chunks", "1",
+         "--eval-every-chunks", "1000", "--eval-clips", "2",
+         "--final-eval-clips", "2"],
+        capture_output=True, text=True, env=env, timeout=540)
+
+
+def test_endurance_run_smoke_and_resume(tmp_path):
+    run_dir = str(tmp_path / "endurance")
+
+    r1 = _run(run_dir, max_chunks=2)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert "fresh start" in r1.stdout
+
+    log_path = os.path.join(run_dir, "endurance.jsonl")
+    recs = [json.loads(ln) for ln in open(log_path)]
+    chunks = [r for r in recs if r["kind"] == "chunk"]
+    assert len(chunks) >= 1
+    # collapse diagnostics present on every chunk record
+    for r in chunks:
+        assert "d_loss" in r and "fake_activation_std" in r
+
+    r2 = _run(run_dir, max_chunks=1)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "RESUMED" in r2.stdout, r2.stdout[-2000:]
+    recs2 = [json.loads(ln) for ln in open(log_path)]
+    starts = [r for r in recs2 if r["kind"] == "start"]
+    assert starts[-1]["resumed"] is True
+    # the resumed run continued past the first run's last step
+    last1 = max(r["step"] for r in recs if r["kind"] == "chunk")
+    last2 = max(r["step"] for r in recs2 if r["kind"] == "chunk")
+    assert last2 > last1
