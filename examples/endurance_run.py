@@ -50,9 +50,10 @@ def parse_args():
     p.add_argument("--img-gan-batch", type=int, default=64)
     p.add_argument("--img-gan-dataset", type=int, default=4096)
     p.add_argument("--corpus-sampler", default="matmul",
-                   choices=("matmul", "take"),
-                   help="device corpus gather: MXU one-hot matmul (76x the "
-                        "row gather at flagship shape) or jnp.take")
+                   choices=("pallas", "matmul", "take"),
+                   help="device corpus gather: Pallas scalar-prefetch DMA "
+                        "gather, MXU one-hot matmul (76x the row gather at "
+                        "flagship shape), or jnp.take")
     p.add_argument("--dtype", default="bfloat16",
                    help="compute dtype (use float32 for CPU smoke tests — "
                         "bf16 is emulated and ~100x slower on CPU)")

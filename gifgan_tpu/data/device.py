@@ -15,11 +15,18 @@ Measured at the flagship endurance chunk shape (1024-clip corpus of
 take 3.68 s/chunk steady vs matmul 48 ms/chunk — 76x. The matmul path
 also uploads uint8 and widens on device (192 MB over the ~35 MB/s relay
 instead of 384 MB of host-converted bf16).
+
+The matmul is still ~8x off copy speed-of-light (it pays M x N x D matmul
+FLOPs for a semantic copy, and widens the resident corpus to bf16):
+method="pallas" (kernels/gather.py) does the gather as scattered
+scalar-prefetch DMAs at HBM bandwidth over the uint8 corpus itself.
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+_PALLAS_ALIGN = 32 * 128  # uint8 tile: 32 sublanes x 128 lanes
 
 
 class DeviceCorpus:
@@ -27,25 +34,43 @@ class DeviceCorpus:
 
     sample(idx) returns float32 in [-1, 1] with the trailing shape of one
     item, gathered + scaled in one jitted program. `method`:
-      * "matmul": one-hot @ corpus on the MXU (default — ~10x the XLA
-        gather at flagship chunk sizes)
+      * "pallas": scalar-prefetch DMA gather at HBM copy speed over the
+        resident uint8 corpus (kernels/gather.py)
+      * "matmul": one-hot @ corpus on the MXU (default — ~76x the XLA
+        gather at flagship chunk sizes; resident corpus widened to bf16)
       * "take":   jnp.take row gather (reference formulation; exact same
         results, kept for parity tests and tiny corpora)
     """
 
-    def __init__(self, corpus_u8: np.ndarray, method: str = "matmul"):
+    def __init__(self, corpus_u8: np.ndarray, method: str = "matmul",
+                 interpret: bool | None = None):
         import jax
         import jax.numpy as jnp
 
         if corpus_u8.dtype != np.uint8:
             raise ValueError(f"corpus must be uint8, got {corpus_u8.dtype}")
-        if method not in ("matmul", "take"):
+        if method not in ("pallas", "matmul", "take"):
             raise ValueError(f"unknown method {method!r}")
         self.method = method
         self.item_shape = corpus_u8.shape[1:]
         self.n = corpus_u8.shape[0]
         d = int(np.prod(self.item_shape))
-        if method == "matmul":
+        if method == "pallas":
+            from gifgan_tpu.kernels.gather import gather_rows_scaled
+
+            if interpret is None:
+                interpret = jax.default_backend() != "tpu"
+            # pad rows to the uint8 tile so each row is a tile-aligned
+            # (D/128, 128) plane (no pad at the flagship item shape:
+            # 16*64*64*3 = 48 * 4096 exactly)
+            d_pad = -(-d // _PALLAS_ALIGN) * _PALLAS_ALIGN
+            flat = corpus_u8.reshape(self.n, d)
+            if d_pad != d:
+                flat = np.pad(flat, ((0, 0), (0, d_pad - d)))
+            self._data = jnp.asarray(flat)
+            self._gather = lambda data, idx: gather_rows_scaled(
+                data, idx, interpret=interpret)[:, :d]
+        elif method == "matmul":
             # (N, D) bf16 resident copy, 2 bytes/px. Upload the uint8
             # bytes (the relay moves ~35 MB/s — ship the smallest form)
             # and convert ON DEVICE. Integers 0..255 are exact in bf16
@@ -61,16 +86,21 @@ class DeviceCorpus:
 
         n, item_shape = self.n, self.item_shape
 
+        gather = getattr(self, "_gather", None)
+
         def _sample(data, idx):
             flat = idx.reshape(-1)
-            if method == "matmul":
+            if method == "pallas":
+                g = gather(data, flat)  # kernel widens AND scales
+            elif method == "matmul":
                 oh = jax.nn.one_hot(flat, n, dtype=jnp.bfloat16)
                 # f32 out of the contraction: no (M, D) bf16 intermediate
                 g = jax.lax.dot(oh, data,
                                 preferred_element_type=jnp.float32)
+                g = g / 127.5 - 1.0
             else:
                 g = jnp.take(data, flat, axis=0).astype(jnp.float32)
-            g = g / 127.5 - 1.0
+                g = g / 127.5 - 1.0
             return g.reshape(idx.shape + item_shape)
 
         self._sample = jax.jit(_sample)

@@ -245,6 +245,45 @@ def test_device_corpus_matmul_matches_take():
         rtol=2e-5)   # XLA folds /127.5 into mul-by-reciprocal
 
 
+def test_device_corpus_pallas_matches_take():
+    """Pallas scalar-prefetch gather (kernels/gather.py) matches jnp.take
+    exactly, including the non-tile-multiple item padding path and take's
+    out-of-range index clamp."""
+    from gifgan_tpu.data.device import DeviceCorpus
+
+    rng = np.random.default_rng(1)
+    corpus = rng.integers(0, 256, (19, 4, 6, 6, 3), np.uint8)  # D=432, pads
+    idx = rng.integers(0, 19, (4, 3))
+    a = np.asarray(DeviceCorpus(corpus, method="pallas").sample(idx))
+    b = np.asarray(DeviceCorpus(corpus, method="take").sample(idx))
+    assert a.shape == (4, 3, 4, 6, 6, 3) and a.dtype == np.float32
+    np.testing.assert_array_equal(a, b)
+
+
+def test_gather_rows_scaled_aligned_and_clamped():
+    import jax.numpy as jnp
+
+    from gifgan_tpu.kernels.gather import gather_rows_scaled
+
+    rng = np.random.default_rng(2)
+    data = rng.integers(0, 256, (7, 4096), np.uint8)  # exactly one u8 tile
+    idx = np.array([3, 0, 6, 3, 99, -2], np.int32)    # dup + out-of-range
+    got = np.asarray(gather_rows_scaled(
+        jnp.asarray(data), jnp.asarray(idx), interpret=True))
+    want = data[np.clip(idx, 0, 6)].astype(np.float32) / 127.5 - 1.0
+    # 1-ulp: XLA folds /127.5 into mul-by-reciprocal under jit
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        gather_rows_scaled(jnp.zeros((4, 128), jnp.uint8),
+                           jnp.zeros((2,), jnp.int32), interpret=True)
+    with pytest.raises(ValueError):
+        gather_rows_scaled(jnp.zeros((4, 4096), jnp.float32),
+                           jnp.zeros((2,), jnp.int32), interpret=True)
+
+
 def test_device_corpus_rejects_bad_input():
     from gifgan_tpu.data.device import DeviceCorpus
 
