@@ -86,35 +86,40 @@ def _add_dcgan_args(p):
                    choices=["float32", "bfloat16"])
 
 
-def _stills_source(args, cfg):
-    """Image batches from a directory of pngs/jpgs, or synthetic."""
-    from gifgan_tpu.data.loader import batches_from_array
-
+def _stills_u8(args, cfg) -> np.ndarray:
+    """(N, s, s, c) uint8 training stills: synthetic or a directory of
+    pngs/jpgs (resized stills quantize back to uint8 — the reference
+    pipeline's processed crops are image files, i.e. uint8, anyway)."""
     if args.dataset == "synthetic":
         from gifgan_tpu.data.synthetic import synthetic_stills
 
-        data = synthetic_stills(args.dataset_size, size=cfg.output_size,
-                                channels=cfg.c_dim).astype(np.float32)
-        data = data / 127.5 - 1.0
-    else:
-        import imageio.v2 as imageio
+        return synthetic_stills(args.dataset_size, size=cfg.output_size,
+                                channels=cfg.c_dim)
+    import imageio.v2 as imageio
 
-        import jax
-        import jax.numpy as jnp
+    import jax
+    import jax.numpy as jnp
 
-        files = sorted(
-            os.path.join(args.dataset, f) for f in os.listdir(args.dataset)
-            if f.lower().endswith((".png", ".jpg", ".jpeg")))
-        imgs = []
-        for f in files:
-            im = np.asarray(imageio.imread(f))[..., :cfg.c_dim]
-            if im.shape[:2] != (cfg.output_size,) * 2:
-                im = np.asarray(jax.image.resize(
-                    jnp.asarray(im, jnp.float32),
-                    (cfg.output_size, cfg.output_size, cfg.c_dim),
-                    method="linear"))
-            imgs.append(im)
-        data = np.stack(imgs).astype(np.float32) / 127.5 - 1.0
+    files = sorted(
+        os.path.join(args.dataset, f) for f in os.listdir(args.dataset)
+        if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    imgs = []
+    for f in files:
+        im = np.asarray(imageio.imread(f))[..., :cfg.c_dim]
+        if im.shape[:2] != (cfg.output_size,) * 2:
+            im = np.asarray(jax.image.resize(
+                jnp.asarray(im, jnp.float32),
+                (cfg.output_size, cfg.output_size, cfg.c_dim),
+                method="linear"))
+        imgs.append(np.clip(np.rint(im), 0, 255).astype(np.uint8))
+    return np.stack(imgs)
+
+
+def _stills_source(args, cfg):
+    """Host-iterator factory over the stills corpus ([-1,1] float batches)."""
+    from gifgan_tpu.data.loader import batches_from_array
+
+    data = _stills_u8(args, cfg).astype(np.float32) / 127.5 - 1.0
     # accepts the per-epoch/per-resume seed from loops._epoch_iter so
     # shuffles differ across epochs and resume segments
     return lambda epoch_seed=args.seed: batches_from_array(
@@ -125,6 +130,15 @@ def cmd_train_dcgan(args):
     from gifgan_tpu.train import loops
 
     cfg = _dcgan_cfg(args)
+    if args.device_corpus:
+        # corpus resident in HBM, batches gathered+scaled on device — the
+        # host ships (K, B) int32 ids per chunk instead of pixels
+        # (data/device.py DeviceCorpus; single-device)
+        loops.train_dcgan(None, cfg, _train_cfg(args),
+                          mesh=_mesh_arg(args),
+                          steps_limit=args.steps_limit, chunk=args.chunk,
+                          stills_u8=_stills_u8(args, cfg))
+        return
     loops.train_dcgan(_stills_source(args, cfg), cfg, _train_cfg(args),
                       mesh=_mesh_arg(args), steps_limit=args.steps_limit,
                       chunk=args.chunk)
@@ -762,6 +776,11 @@ def main(argv=None):
     p = sub.add_parser("train-dcgan", help="train the image DCGAN")
     p.add_argument("--chunk", type=int, default=1,
                    help="batches per XLA program (lax.scan)")
+    p.add_argument("--device-corpus", action="store_true",
+                   help="upload the uint8 corpus to HBM once and gather "
+                        "batches on device (hosts behind slow links never "
+                        "touch pixels in the hot loop; single-device, "
+                        "requires --data-parallel 1)")
     _add_dcgan_args(p)
     _add_train_args(p)
     p.add_argument("--dataset", default="synthetic",

@@ -89,12 +89,23 @@ def train_dcgan(images_iter: Callable[[], Iterator[np.ndarray]],
                 cfg: DCGANConfig, tcfg: TrainConfig,
                 mesh=None, resume: bool = True,
                 steps_limit: Optional[int] = None,
-                chunk: int = 1):
+                chunk: int = 1,
+                stills_u8: Optional[np.ndarray] = None):
     """images_iter: () -> iterator of (B, s, s, c) float [-1,1] batches (one
     pass = one epoch). Returns the final TrainState.
 
     chunk>1 runs K batches as one XLA program (gan.train_chunk) — same
-    dispatch amortization as the vid loop (train/vid.py measurements)."""
+    dispatch amortization as the vid loop (train/vid.py measurements).
+
+    stills_u8: device-resident fast path — a (N, s, s, c) uint8 corpus that
+    fits in HBM is uploaded ONCE and every chunk's (K, B, s, s, c) batch is
+    gathered + scaled on device (data/device.py DeviceCorpus); the host
+    ships only (K, B) int32 ids per chunk instead of frame pixels. On a
+    1-core host behind the ~35 MB/s axon relay the per-step f32 upload is
+    the whole bottleneck (~4 steps/s at the reference shape); this path
+    makes the loop compute-bound. Epoch/shuffle semantics are preserved
+    (per-epoch id permutation, same per-epoch seeds); images_iter is
+    ignored. Single-device for now (mesh must be None)."""
     from gifgan_tpu.parallel.dp import (make_sharded_step, shard_batch_arrays,
                                         shard_train_state)
     from gifgan_tpu.train import gan
@@ -124,6 +135,27 @@ def train_dcgan(images_iter: Callable[[], Iterator[np.ndarray]],
         chunk_fn = ((lambda *a: gan.train_chunk(*a, cfg, tcfg))
                     if chunk > 1 else None)
 
+    corpus = None
+    if stills_u8 is not None:
+        if mesh is not None:
+            raise ValueError(
+                "stills_u8 device-corpus path is single-device; pass "
+                "mesh=None (shard the images_iter host path instead)")
+        from gifgan_tpu.data.device import DeviceCorpus
+
+        corpus = DeviceCorpus(np.ascontiguousarray(stills_u8))
+        if corpus.n < tcfg.batch_size:
+            raise ValueError(f"stills_u8 has {corpus.n} items "
+                             f"< batch_size {tcfg.batch_size}")
+
+    def _corpus_id_batches(epoch_seed: int) -> Iterator[np.ndarray]:
+        """One epoch = one shuffled pass over corpus ids, full batches only
+        (model.py:143-266 drops the epoch tail too). Same epoch-seed protocol
+        as _epoch_iter so shuffles differ across epochs/resume segments."""
+        perm = np.random.default_rng(epoch_seed).permutation(corpus.n)
+        for i in range(corpus.n // tcfg.batch_size):
+            yield perm[i * tcfg.batch_size:(i + 1) * tcfg.batch_size]
+
     sample_z = uniform_z(rngs.next(), (64, cfg.z_dim))
     log = MetricsLogger(run_dir)
     saver = ckpt.AsyncCheckpointer()  # disk write overlaps the next steps
@@ -139,13 +171,17 @@ def train_dcgan(images_iter: Callable[[], Iterator[np.ndarray]],
         istack, zstack = np.stack(pending_images), np.stack(pending_z)
         pending_images.clear()
         pending_z.clear()
+        if corpus is not None:          # (k, B) ids -> (k, B, s, s, c) f32,
+            istack = corpus.sample(istack)  # gathered+scaled on device
         ts, metrics = chunk_fn(ts, istack, zstack, rngs.next())
         step += k
         log.log(step, {key: v[-1] for key, v in metrics.items()})
 
     for epoch in range(tcfg.epochs):
-        for batch in PrefetchLoader(_epoch_iter(images_iter,
-                                                tcfg.seed + start_step + epoch)):
+        epoch_seed = tcfg.seed + start_step + epoch
+        batches = (_corpus_id_batches(epoch_seed) if corpus is not None
+                   else PrefetchLoader(_epoch_iter(images_iter, epoch_seed)))
+        for batch in batches:
             batch = np.asarray(batch)
             z = uniform_z(rngs.next(), (batch.shape[0], cfg.z_dim))
             prev_step = step
@@ -156,7 +192,9 @@ def train_dcgan(images_iter: Callable[[], Iterator[np.ndarray]],
                     continue
                 flush_pending()
             else:
-                if mesh is not None:
+                if corpus is not None:
+                    batch = corpus.sample(batch)
+                elif mesh is not None:
                     batch = shard_batch_arrays(mesh, batch)
                 ts, metrics = step_fn(ts, batch, z, rngs.next())
                 step += 1

@@ -128,6 +128,16 @@ def test_train_vid_stream_from_gif_dir(tmp_path):
     assert (run_dir / "train_metrics.jsonl").exists()
 
 
+def test_cli_train_dcgan_device_corpus(tmp_path):
+    """--device-corpus drives the HBM-resident gather path end-to-end
+    (train/loops.py stills_u8): metrics logged, checkpoint written."""
+    run_dir = str(tmp_path / "img")
+    _run(["train-dcgan", "--run-dir", run_dir, "--c-dim", "3",
+          "--device-corpus", "--chunk", "2"] + SMALL_MODEL + SMALL_TRAIN)
+    assert os.path.exists(os.path.join(run_dir, "train_metrics.jsonl"))
+    assert os.path.isdir(os.path.join(run_dir, "checkpoints"))
+
+
 def test_export_web_cli(tmp_path):
     pytest.importorskip("imageio")
     run_dir = str(tmp_path / "img")

@@ -261,3 +261,56 @@ def test_chunked_cadence_fires_after_tail_shift():
     assert _crossed(130, 150, 150)     # tail-shifted grid
     assert not _crossed(150, 170, 500)
     assert not _crossed(0, 10, 0)      # disabled cadence
+
+
+def test_train_dcgan_stills_u8_matches_host_iterator(tmp_path):
+    """Device-corpus fast path (stills_u8) must consume the SAME batches in
+    the SAME order/grouping as a host iterator replaying its per-epoch id
+    permutation. The host run here yields the exact arrays the device path
+    gathers (DeviceCorpus value-parity vs numpy scaling is test_data.py's
+    job; the /127.5 reciprocal-multiply ulp difference amplifies chaotically
+    through the degenerate tiny-GAN's Adam updates, so plumbing parity needs
+    bit-identical pixels), hence final params must match bit-exactly — for
+    both the per-step and the chunked (K-as-one-program) paths."""
+    import jax
+    from gifgan_tpu.data.device import DeviceCorpus
+
+    data_u8 = synthetic_stills(32, size=32)
+    assert data_u8.dtype == np.uint8
+    corpus = DeviceCorpus(data_u8)
+
+    def host_iter(epoch_seed):
+        perm = np.random.default_rng(epoch_seed).permutation(len(data_u8))
+        for i in range(len(data_u8) // 16):
+            yield np.asarray(corpus.sample(perm[i * 16:(i + 1) * 16]))
+
+    for chunk in (1, 2):
+        tag = f"c{chunk}"
+        tcfg_a = TrainConfig(batch_size=16, epochs=1, sample_every=0,
+                             checkpoint_every=0,
+                             run_dir=str(tmp_path / f"dev_{tag}"))
+        ts_dev = loops.train_dcgan(None, IMG, tcfg_a, chunk=chunk,
+                                   stills_u8=data_u8)
+        tcfg_b = TrainConfig(batch_size=16, epochs=1, sample_every=0,
+                             checkpoint_every=0,
+                             run_dir=str(tmp_path / f"host_{tag}"))
+        ts_host = loops.train_dcgan(host_iter, IMG, tcfg_b, chunk=chunk)
+        assert int(np.asarray(jax.device_get(ts_dev.step))) == 2
+        a = jax.device_get(ts_dev.params)
+        b = jax.device_get(ts_host.params)
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_array_equal(la, lb)
+
+
+def test_train_dcgan_stills_u8_rejects_mesh_and_small_corpus(tmp_path):
+    import jax
+    from gifgan_tpu.core.mesh import make_mesh
+
+    data_u8 = synthetic_stills(8, size=32)
+    tcfg = TrainConfig(batch_size=16, epochs=1, sample_every=0,
+                       checkpoint_every=0, run_dir=str(tmp_path / "r"))
+    mesh = make_mesh(jax.devices("cpu")[:2], data_parallel=2)
+    with pytest.raises(ValueError, match="single-device"):
+        loops.train_dcgan(None, IMG, tcfg, mesh=mesh, stills_u8=data_u8)
+    with pytest.raises(ValueError, match="batch_size"):
+        loops.train_dcgan(None, IMG, tcfg, stills_u8=data_u8)
