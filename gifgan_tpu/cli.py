@@ -158,6 +158,36 @@ def cmd_train_vid(args):
                        activation_noise_std=args.activation_noise,
                        first_frame_loss_scalar=args.first_frame_loss_scalar)
 
+    def _clips_u8():
+        """Materialize the whole (N, T, s, s, c) uint8 clip corpus."""
+        if args.dataset == "synthetic":
+            from gifgan_tpu.data.synthetic import synthetic_clips
+
+            return synthetic_clips(args.dataset_size, length=cfg.vid_length,
+                                   size=img_cfg.output_size,
+                                   channels=img_cfg.c_dim)
+        from gifgan_tpu.data.video import decode_clip_batch
+
+        files = sorted(os.path.join(args.dataset, f)
+                       for f in os.listdir(args.dataset)
+                       if f.endswith((".mp4", ".avi")))
+        return decode_clip_batch(files, cfg.vid_length,
+                                 img_cfg.output_size, strict=False)
+
+    if getattr(args, "device_corpus", False):
+        # clip corpus resident in HBM; the host ships (K, B) int32 clip
+        # ids per chunk — the endurance loop's data path, available to
+        # the standard training CLI (single-device)
+        if args.dataset != "synthetic" and args.stream:
+            raise SystemExit("--device-corpus materializes the corpus in "
+                             "HBM; it is incompatible with --stream")
+        loops.train_vid_dcgan(None, cfg, _train_cfg(args),
+                              image_gan_ckpt=args.image_gan_checkpoint,
+                              mesh=_mesh_arg(args),
+                              steps_limit=args.steps_limit, chunk=args.chunk,
+                              clips_u8=_clips_u8())
+        return
+
     if args.dataset != "synthetic" and args.stream:
         # worker-pool streaming decode: the corpus never needs to fit in
         # memory; N threads decode ahead of the train step (SURVEY.md §7.3)
@@ -173,21 +203,7 @@ def cmd_train_vid(args):
                 img_cfg.output_size, shuffle=True, seed=epoch_seed,
                 workers=args.data_workers)
     else:
-        if args.dataset == "synthetic":
-            from gifgan_tpu.data.synthetic import synthetic_clips
-
-            clips = synthetic_clips(args.dataset_size, length=cfg.vid_length,
-                                    size=img_cfg.output_size,
-                                    channels=img_cfg.c_dim)
-        else:
-            from gifgan_tpu.data.video import decode_clip_batch
-
-            files = sorted(os.path.join(args.dataset, f)
-                           for f in os.listdir(args.dataset)
-                           if f.endswith((".mp4", ".avi")))
-            clips = decode_clip_batch(files, cfg.vid_length,
-                                      img_cfg.output_size, strict=False)
-        clips = clips.astype(np.float32) / 127.5 - 1.0
+        clips = _clips_u8().astype(np.float32) / 127.5 - 1.0
 
         def clips_iter(epoch_seed=args.seed):
             for batch in batches_from_array(clips, args.batch_size,
@@ -805,6 +821,12 @@ def main(argv=None):
                         "worker pool instead of loading all in memory")
     p.add_argument("--data-workers", type=int, default=4,
                    help="decode worker threads for --stream")
+    p.add_argument("--device-corpus", action="store_true",
+                   help="upload the uint8 clip corpus to HBM once and "
+                        "gather+time-fold batches on device (host ships "
+                        "only clip ids; slow/1-core hosts stop being the "
+                        "bottleneck; single-device, incompatible with "
+                        "--stream)")
     p.add_argument("--train-img-gen", action="store_true")
     p.add_argument("--train-img-disc", action="store_true")
     p.set_defaults(fn=cmd_train_vid)

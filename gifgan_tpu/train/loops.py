@@ -225,13 +225,24 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
                     image_gan_ckpt: Optional[str] = None,
                     mesh=None, resume: bool = True,
                     steps_limit: Optional[int] = None,
-                    chunk: int = 1):
+                    chunk: int = 1,
+                    clips_u8: Optional[np.ndarray] = None):
     """clips_iter yields time-folded (B*T, s, s, c) float [-1,1] batches.
 
     chunk>1 accumulates K batches and runs them as ONE XLA program
     (train_chunk) — ~2x throughput at flagship scale (host dispatch costs as
     much as the math per step). Sampling/checkpoint cadence then lands on
-    chunk boundaries."""
+    chunk boundaries.
+
+    clips_u8: device-resident fast path — a (N, T, s, s, c) uint8 clip
+    corpus uploaded ONCE to HBM; each chunk's (K, B*T, s, s, c) frames are
+    gathered + scaled + time-folded on device (data/device.py DeviceCorpus,
+    the endurance loop's data path: examples/endurance_run.py). The host
+    ships (K, B) int32 clip ids per chunk instead of ~4 GB of frames — a
+    1-core host feeding the flagship loop through decode sustains ~12.5
+    steps/s vs the chip's 40.5 (BASELINE.md loader row); this path makes
+    the loop compute-bound on any host. Epoch/shuffle semantics preserved;
+    clips_iter is ignored. Single-device (mesh must be None)."""
     from gifgan_tpu.parallel.dp import (make_sharded_step, shard_batch_arrays,
                                         shard_train_state)
     from gifgan_tpu.train import vid as vid_train
@@ -265,6 +276,35 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
         chunk_fn = ((lambda *a: vid_train.train_chunk(*a, cfg, tcfg))
                     if chunk > 1 else None)
 
+    corpus = None
+    if clips_u8 is not None:
+        if mesh is not None:
+            raise ValueError(
+                "clips_u8 device-corpus path is single-device; pass "
+                "mesh=None (shard the clips_iter host path instead)")
+        if clips_u8.ndim != 5 or clips_u8.shape[1] != cfg.vid_length:
+            raise ValueError(
+                f"clips_u8 must be (N, vid_length={cfg.vid_length}, s, s, c)"
+                f" uint8, got {clips_u8.shape}")
+        from gifgan_tpu.data.device import DeviceCorpus
+
+        corpus = DeviceCorpus(np.ascontiguousarray(clips_u8))
+        if corpus.n < tcfg.batch_size:
+            raise ValueError(f"clips_u8 has {corpus.n} clips "
+                             f"< batch_size {tcfg.batch_size}")
+
+    def _corpus_id_batches(epoch_seed: int) -> Iterator[np.ndarray]:
+        """One epoch = one shuffled pass over clip ids, full batches only
+        (same epoch-seed protocol as _epoch_iter)."""
+        perm = np.random.default_rng(epoch_seed).permutation(corpus.n)
+        for i in range(corpus.n // tcfg.batch_size):
+            yield perm[i * tcfg.batch_size:(i + 1) * tcfg.batch_size]
+
+    def _fold_time(g):
+        """(..., B, T, s, s, c) f32 -> (..., B*T, s, s, c): time folds into
+        batch on device (the layout every train step expects)."""
+        return g.reshape(g.shape[:-5] + (-1,) + g.shape[-3:])
+
     pending_frames, pending_z = [], []
     np_rng = np.random.default_rng(tcfg.seed)
     sample_z = np_rng.uniform(-1, 1, (tcfg.batch_size, cfg.z_input_size)
@@ -290,15 +330,21 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
         fstack, zstack = np.stack(pending_frames), np.stack(pending_z)
         pending_frames.clear()
         pending_z.clear()
+        if corpus is not None:   # (k, B) clip ids -> (k, B*T, s, s, c) f32
+            fstack = _fold_time(corpus.sample(fstack))
         ts, metrics = chunk_fn(ts, fstack, zstack, rngs.next())
         step += k
         log.log(step, {key: v[-1] for key, v in metrics.items()})
 
     for epoch in range(tcfg.epochs):
-        for frames in PrefetchLoader(
-                _epoch_iter(clips_iter, tcfg.seed + start_step + epoch)):
+        epoch_seed = tcfg.seed + start_step + epoch
+        epoch_batches = (_corpus_id_batches(epoch_seed) if corpus is not None
+                         else PrefetchLoader(_epoch_iter(clips_iter,
+                                                         epoch_seed)))
+        for frames in epoch_batches:
             frames = np.asarray(frames)
-            b = frames.shape[0] // cfg.vid_length
+            b = (frames.shape[0] if corpus is not None
+                 else frames.shape[0] // cfg.vid_length)
             z = uniform_z(rngs.next(), (b, cfg.z_input_size))
             prev_step = step
             if chunk_fn is not None:
@@ -308,7 +354,9 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
                     continue
                 flush_pending()
             else:
-                if mesh is not None:
+                if corpus is not None:
+                    frames = _fold_time(corpus.sample(frames))
+                elif mesh is not None:
                     frames = shard_batch_arrays(mesh, frames)
                 ts, metrics = step_fn(ts, frames, z, rngs.next())
                 step += 1

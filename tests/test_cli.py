@@ -138,6 +138,28 @@ def test_cli_train_dcgan_device_corpus(tmp_path):
     assert os.path.isdir(os.path.join(run_dir, "checkpoints"))
 
 
+def test_cli_train_vid_device_corpus(tmp_path):
+    """train-vid --device-corpus: the endurance loop's HBM-resident clip
+    corpus path through the standard CLI (ids-only host traffic)."""
+    run_dir = str(tmp_path / "vid")
+    _run(["train-vid", "--run-dir", run_dir, "--device-corpus",
+          "--chunk", "2", "--vid-length", "4", "--vid-z-dim", "20",
+          "--batch-size", "8", "--epochs", "1", "--sample-every", "0",
+          "--checkpoint-every", "0", "--steps-limit", "2",
+          "--data-parallel", "1", "--dataset", "synthetic",
+          "--dataset-size", "16"] + SMALL_MODEL)
+    assert os.path.exists(os.path.join(run_dir, "train_metrics.jsonl"))
+    assert os.path.isdir(os.path.join(run_dir, "checkpoints"))
+    # --stream + --device-corpus is refused
+    with pytest.raises(SystemExit):
+        _run(["train-vid", "--run-dir", str(tmp_path / "v2"),
+              "--device-corpus", "--stream", "--dataset", str(tmp_path),
+              "--vid-length", "4", "--vid-z-dim", "20",
+              "--batch-size", "8", "--epochs", "1", "--sample-every", "0",
+              "--checkpoint-every", "0", "--steps-limit", "1",
+              "--data-parallel", "1"] + SMALL_MODEL)
+
+
 def test_export_web_cli(tmp_path):
     pytest.importorskip("imageio")
     run_dir = str(tmp_path / "img")

@@ -302,6 +302,56 @@ def test_train_dcgan_stills_u8_matches_host_iterator(tmp_path):
             np.testing.assert_array_equal(la, lb)
 
 
+def test_train_vid_dcgan_clips_u8_matches_host_iterator(tmp_path):
+    """Vid-loop device-corpus path (clips_u8): same clip ids, order, chunk
+    grouping and time-folding as a host iterator replaying the per-epoch
+    permutation over bit-identical pixels -> bit-exact final params (see
+    the image-loop twin above for why pixels must be bit-identical)."""
+    import jax
+    from gifgan_tpu.data.device import DeviceCorpus
+
+    cfg = VidGANConfig(z_input_size=20, z_output_size=16, vid_length=4,
+                       hidden_dim=32, d_filters=16, image_gan=IMG)
+    data_u8 = synthetic_clips(16, length=4, size=32)
+    corpus = DeviceCorpus(data_u8)
+
+    def host_iter(epoch_seed):
+        perm = np.random.default_rng(epoch_seed).permutation(len(data_u8))
+        for i in range(len(data_u8) // 8):
+            g = np.asarray(corpus.sample(perm[i * 8:(i + 1) * 8]))
+            yield g.reshape(-1, *g.shape[2:])     # time folds into batch
+
+    for chunk in (1, 2):
+        tag = f"c{chunk}"
+        tcfg_a = TrainConfig(batch_size=8, epochs=1, sample_every=0,
+                             checkpoint_every=0,
+                             run_dir=str(tmp_path / f"dev_{tag}"))
+        ts_dev = loops.train_vid_dcgan(None, cfg, tcfg_a, chunk=chunk,
+                                       clips_u8=data_u8)
+        tcfg_b = TrainConfig(batch_size=8, epochs=1, sample_every=0,
+                             checkpoint_every=0,
+                             run_dir=str(tmp_path / f"host_{tag}"))
+        ts_host = loops.train_vid_dcgan(host_iter, cfg, tcfg_b, chunk=chunk)
+        assert int(np.asarray(jax.device_get(ts_dev.step))) == 2
+        a = jax.device_get(ts_dev.params)
+        b = jax.device_get(ts_host.params)
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_array_equal(la, lb)
+
+
+def test_train_vid_dcgan_clips_u8_rejects_bad_shapes(tmp_path):
+    cfg = VidGANConfig(z_input_size=20, z_output_size=16, vid_length=4,
+                       hidden_dim=32, d_filters=16, image_gan=IMG)
+    tcfg = TrainConfig(batch_size=8, epochs=1, sample_every=0,
+                       checkpoint_every=0, run_dir=str(tmp_path / "r"))
+    with pytest.raises(ValueError, match="vid_length"):
+        loops.train_vid_dcgan(None, cfg, tcfg,
+                              clips_u8=synthetic_clips(8, length=6, size=32))
+    with pytest.raises(ValueError, match="batch_size"):
+        loops.train_vid_dcgan(None, cfg, tcfg,
+                              clips_u8=synthetic_clips(4, length=4, size=32))
+
+
 def test_train_dcgan_stills_u8_rejects_mesh_and_small_corpus(tmp_path):
     import jax
     from gifgan_tpu.core.mesh import make_mesh
