@@ -237,3 +237,51 @@ def test_dp_tp_full_vid_step_matches_dp_only(key):
         ]
         assert any("conv" in s and ("mu" in s or "nu" in s)
                    for s in sharded), sharded
+
+
+def test_dp_sp_tp_vid_step_matches_single_device(key):
+    """ALL THREE mesh axes composed — clips over `data`, time within each
+    clip over `seq`, weights + Adam slots channel-sharded over `model`
+    (sp.make_sp_step with tp state_shardings) — is a pure layout change:
+    same losses as unsharded single-device execution, slots genuinely
+    model-sharded. Mirrors the driver dryrun's dp(2)xsp(2)xtp(2) line."""
+    from gifgan_tpu.core.mesh import MODEL_AXIS
+    from gifgan_tpu.parallel.sp import make_sp_step, shard_vid_batch
+    from gifgan_tpu.parallel.tp import (place_vid_state_tp,
+                                        vid_state_tp_shardings)
+
+    cfg = VidGANConfig(z_input_size=20, z_output_size=16, vid_length=4,
+                       hidden_dim=32, d_filters=16, image_gan=IMG,
+                       first_frame_loss_scalar=1.0)
+    tcfg = TrainConfig(batch_size=4, gen_updates=2)
+    frames = np.tanh(np.random.default_rng(0).standard_normal(
+        (4 * 4, 32, 32, 1))).astype(np.float32)
+    z = np.random.default_rng(1).uniform(-1, 1, (4, 20)).astype(np.float32)
+    rng = jax.random.PRNGKey(0)
+
+    ts_ref = vid_train.init_train_state(key, cfg, tcfg)
+    _, m_ref = vid_train.train_step(ts_ref, jnp.asarray(frames),
+                                    jnp.asarray(z), rng, cfg, tcfg)
+
+    mesh = make_mesh(data_parallel=2, seq_parallel=2, model_parallel=2)
+    ts6 = place_vid_state_tp(mesh, vid_train.init_train_state(key, cfg,
+                                                              tcfg),
+                             full=True)
+    sh6 = vid_state_tp_shardings(mesh, ts6, full=True)
+    f6, z6 = shard_vid_batch(mesh, jnp.asarray(frames), jnp.asarray(z))
+    step6 = make_sp_step(vid_train.train_step, mesh,
+                         static_args={"cfg": cfg, "tcfg": tcfg},
+                         state_shardings=sh6)
+    ts6_out, m6 = step6(ts6, f6, z6, rng)
+
+    for k in ("d_loss", "g_loss", "first_frame_loss"):
+        a = float(np.asarray(m_ref[k]))
+        b = float(np.asarray(m6[k]))
+        assert abs(a - b) < 1e-3 + 1e-3 * abs(a), (k, a, b)
+    sharded = [
+        jax.tree_util.keystr(p)
+        for p, leaf in jax.tree_util.tree_leaves_with_path(ts6_out.opt_d)
+        if hasattr(leaf, "sharding")
+        and MODEL_AXIS in str(leaf.sharding.spec)
+    ]
+    assert sharded, "no opt_d slot model-sharded on the 3-axis mesh"
