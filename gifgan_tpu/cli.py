@@ -273,10 +273,23 @@ def _load_vid_sampler(args):
     ts = vid_train.VidTrainState(**ckpt.restore(args.checkpoint,
                                                 ts._asdict()))
 
-    def sample_fn(z):
-        return np.asarray(vid_train.sample_videos(ts, np.asarray(z), cfg))
+    if getattr(args, "int8", False):
+        q, sample_q = vid_train.quantize_sampler(ts, cfg)
+
+        def sample_fn(z):
+            return np.asarray(sample_q(q, jnp_asarray_f32(z), cfg))
+    else:
+        def sample_fn(z):
+            return np.asarray(vid_train.sample_videos(ts, np.asarray(z),
+                                                      cfg))
 
     return cfg, sample_fn
+
+
+def jnp_asarray_f32(z):
+    import jax.numpy as jnp
+
+    return jnp.asarray(np.asarray(z, np.float32))
 
 
 def cmd_sample_wall(args):
@@ -617,10 +630,22 @@ def cmd_explorer(args):
 
     cfg, params, state = _load_dcgan_from_run(args.checkpoint)
 
-    def sampler(z):
-        from gifgan_tpu.models import dcgan
+    if args.int8:
+        import jax
 
-        return np.asarray(dcgan.sample(params, state, np.asarray(z), cfg))
+        from gifgan_tpu.ops import quant
+
+        q = quant.quantize_image_generator(params.generator, state.generator)
+        sample_q = jax.jit(quant.image_generator_q, static_argnames="cfg")
+
+        def sampler(z):
+            return np.asarray(sample_q(q, np.asarray(z, np.float32), cfg))
+    else:
+        def sampler(z):
+            from gifgan_tpu.models import dcgan
+
+            return np.asarray(dcgan.sample(params, state, np.asarray(z),
+                                           cfg))
 
     core = ExplorerCore(sampler, cfg.z_dim, args.media_dir,
                         batch_size=args.batch_size)
@@ -861,6 +886,9 @@ def main(argv=None):
     p.add_argument("--continuous", action="store_true")
     p.add_argument("--fps", type=float, default=8.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--int8", action="store_true",
+                   help="serve the int8-quantized generator stack "
+                        "(2x MXU rate on v5e; ops/quant.py)")
     p.set_defaults(fn=cmd_sample_wall)
 
     p = sub.add_parser("track", help="face-track preprocessing over a dir")
@@ -1011,6 +1039,9 @@ def main(argv=None):
                         "proxy logs — prefer the header off-localhost")
     p.add_argument("--warmup", action="store_true",
                    help="compile the sampler before serving")
+    p.add_argument("--int8", action="store_true",
+                   help="serve the int8-quantized generator "
+                        "(2x MXU rate on v5e; ops/quant.py)")
     _add_tls_args(p)
     p.set_defaults(fn=cmd_explorer)
 

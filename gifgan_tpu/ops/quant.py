@@ -1,0 +1,273 @@
+"""Post-training int8 quantization for the inference/serving path.
+
+The v5e MXU runs int8 x int8 -> int32 at twice the bf16 rate (394 vs 197
+TFLOP/s peak), and the serving forward pass (explorer / sampler / webcam —
+reference model_sampler.py, explorer.py, run_webcam_demo) is pure inference:
+BatchNorm uses running moments, weights are frozen. That makes the classic
+quantized-inference recipe exact-shaped for TPU serving:
+
+  1. fold inference-mode BN into the preceding conv/deconv/linear
+     (w' = w * g, b' = (b - mean) * g + beta, g = scale * rsqrt(var + eps)),
+  2. quantize folded weights to int8 per OUTPUT channel (symmetric,
+     scale = max|w'| / 127 — per-channel because DCGAN layers have
+     100x dynamic-range spread across filters),
+  3. quantize activations per tensor, dynamically (scale computed in-graph
+     from max|x|; one extra HBM-bound reduce per layer, negligible next to
+     the conv),
+  4. convolve int8 x int8 with int32 accumulation
+     (preferred_element_type=int32 — lands on the MXU's int path),
+  5. dequantize in the epilogue: y = acc * (s_x * s_w[o]) + b', then the
+     nonlinearity in float. XLA fuses 3 and 5 into the conv.
+
+Quantized layers mirror gifgan_tpu/ops/nn.py signatures (the float oracles);
+model-level helpers quantize the image DCGAN generator (reference
+model.py:298-324) and the VID_DCGAN z-sequence MLP (z_model_lib.py:353-382),
+which together are the entire serving forward stack.
+
+This path is forward-only (int8 convolutions have no VJP): it serves
+sampling/rendering. Latent inversion (invert/optimize.py) keeps the float
+generator — its 1200-step budget already runs in under half a second warm.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gifgan_tpu.core.config import DCGANConfig, VidGANConfig
+from gifgan_tpu.ops import nn
+
+Array = jax.Array
+
+# int8 symmetric range. 127 (not 128) keeps the grid symmetric so that
+# negating an input negates its quantization exactly.
+QMAX = 127.0
+
+
+# ---------------------------------------------------------------------------
+# BN folding
+# ---------------------------------------------------------------------------
+
+def fold_bn(layer: Dict, bn_params: Dict, bn_state: Dict, out_axis: int,
+            eps: float = 1e-5) -> Dict:
+    """Fold inference-mode batch_norm (ops/nn.py:228-255, train=False) into
+    the preceding affine layer.
+
+    y = xW + b followed by (y - mean) * g + beta, g = scale * rsqrt(var+eps),
+    equals xW' + b' with W' = W * g (g broadcast along `out_axis` of W) and
+    b' = (b - mean) * g + beta. Exact in f32 up to reassociation.
+    """
+    g = bn_params["scale"] * jax.lax.rsqrt(bn_state["var"] + eps)
+    w = layer["w"].astype(jnp.float32)
+    shape = [1] * w.ndim
+    shape[out_axis] = -1
+    return {
+        "w": w * g.reshape(shape),
+        "b": (layer["b"].astype(jnp.float32) - bn_state["mean"]) * g
+             + bn_params["bias"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# weight / activation quantization
+# ---------------------------------------------------------------------------
+
+def quantize_weight(layer: Dict, out_axis: int) -> Dict:
+    """{'w', 'b'} float layer -> {'wq' int8, 'ws' f32 per-out-channel, 'b'}."""
+    w = layer["w"].astype(jnp.float32)
+    axes = tuple(a for a in range(w.ndim) if a != out_axis)
+    scale = jnp.max(jnp.abs(w), axis=axes) / QMAX
+    scale = jnp.maximum(scale, 1e-12)  # all-zero channels
+    shape = [1] * w.ndim
+    shape[out_axis] = -1
+    wq = jnp.clip(jnp.round(w / scale.reshape(shape)), -QMAX, QMAX)
+    return {"wq": wq.astype(jnp.int8), "ws": scale,
+            "b": layer["b"].astype(jnp.float32)}
+
+
+def quantize_act(x: Array) -> Tuple[Array, Array]:
+    """Dynamic per-tensor symmetric quantization: (x_q int8, scale f32[]).
+
+    The scale is data-dependent but stays on device — under jit it is a
+    scalar in the graph, not a host sync.
+    """
+    scale = jnp.max(jnp.abs(x.astype(jnp.float32))) / QMAX
+    scale = jnp.maximum(scale, 1e-12)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -QMAX, QMAX)
+    return xq.astype(jnp.int8), scale
+
+
+# ---------------------------------------------------------------------------
+# quantized layers (signatures mirror ops/nn.py)
+# ---------------------------------------------------------------------------
+
+def _dequant(acc: Array, s_x: Array, q: Dict) -> Array:
+    y = acc.astype(jnp.float32) * (s_x * q["ws"])
+    return y + q["b"]
+
+
+def qlinear(q: Dict, x: Array) -> Array:
+    """int8 counterpart of nn.linear (w layout (in, out), out_axis=1)."""
+    xq, s_x = quantize_act(x)
+    acc = jax.lax.dot_general(xq, q["wq"],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return _dequant(acc, s_x, q)
+
+
+def qconv2d(q: Dict, x: Array, stride: int = 2) -> Array:
+    """int8 counterpart of nn.conv2d (HWIO, out_axis=3)."""
+    xq, s_x = quantize_act(x)
+    acc = jax.lax.conv_general_dilated(
+        xq, q["wq"], (stride, stride), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return _dequant(acc, s_x, q)
+
+
+def qdeconv2d(q: Dict, x: Array, stride: int = 2) -> Array:
+    """int8 counterpart of nn.deconv2d's dilated form (ops/nn.py:125-155).
+
+    q holds the TF-layout (k, k, out, in) kernel quantized along axis 2;
+    the flip/transpose to HWIO happens on the int8 tensor (a pure layout
+    permutation — quantization commutes with it).
+    """
+    xq, s_x = quantize_act(x)
+    w = q["wq"]
+    k = w.shape[0]
+    pad_total = max(k - stride, 0)
+    pl = pad_total // 2
+    pr = pad_total - pl
+    pad = (k - 1 - pl, k - 1 - pr)
+    rhs = jnp.transpose(jnp.flip(w, (0, 1)), (0, 1, 3, 2))
+    acc = jax.lax.conv_general_dilated(
+        xq, rhs, (1, 1), (pad, pad),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return _dequant(acc, s_x, q)
+
+
+# ---------------------------------------------------------------------------
+# model-level: image DCGAN generator (models/dcgan.py:63-83, train=False)
+# ---------------------------------------------------------------------------
+
+def _tile_bn(d: Dict, reps: int) -> Dict:
+    """Expand per-channel BN vectors across `reps` leading spatial positions.
+
+    dcgan.generator applies bn0 AFTER reshaping the h0_lin output to
+    (B, s16, s16, gf*8): linear-output index ((h*s16)+w)*C + c normalizes
+    with channel stats g[c], so folding bn0 into the linear needs each
+    vector tiled `s16*s16` times (channel-fastest order == jnp.tile)."""
+    return {k: jnp.tile(v, reps) for k, v in d.items()}
+
+
+def quantize_image_generator(params: Dict, state: Dict) -> Dict:
+    """Float generator params + BN running state -> int8 serving params.
+
+    bn{i} folds into the layer it normalizes: h0_lin -> bn0 (tiled over the
+    s16 x s16 reshape positions), h{1..3}_deconv -> bn{1..3}; h4_deconv has
+    no BN (tanh output). Deconv TF layout (k, k, out, in) quantizes along
+    axis 2; linear along 1.
+    """
+    out_dim = params["h0_lin"]["w"].shape[1]
+    reps = out_dim // params["bn0"]["scale"].shape[0]
+    q = {
+        "h0_lin": quantize_weight(
+            fold_bn(params["h0_lin"], _tile_bn(params["bn0"], reps),
+                    _tile_bn(state["bn0"], reps), out_axis=1), out_axis=1),
+        "h4_deconv": quantize_weight(params["h4_deconv"], out_axis=2),
+    }
+    for i, name in enumerate(["h1_deconv", "h2_deconv", "h3_deconv"]):
+        q[name] = quantize_weight(
+            fold_bn(params[name], params[f"bn{i + 1}"],
+                    state[f"bn{i + 1}"], out_axis=2), out_axis=2)
+    return q
+
+
+def image_generator_q(q: Dict, z: Array, cfg: DCGANConfig) -> Array:
+    """Quantized mirror of dcgan.generator(..., train=False): z (B, z_dim)
+    -> images (B, s, s, c) in [-1, 1]. BN is pre-folded; epilogues in f32."""
+    s16 = cfg.output_size // 16
+    gf = cfg.gf_dim
+    h = qlinear(q["h0_lin"], z)
+    h = jax.nn.relu(h.reshape(-1, s16, s16, gf * 8))
+    for name in ("h1_deconv", "h2_deconv", "h3_deconv"):
+        h = jax.nn.relu(qdeconv2d(q[name], h))
+    return jnp.tanh(qdeconv2d(q["h4_deconv"], h))
+
+
+# ---------------------------------------------------------------------------
+# model-level: VID_DCGAN serving stack (vid-G MLP + nested image G)
+# ---------------------------------------------------------------------------
+
+def quantize_vid_stack(params, state) -> Dict:
+    """VidGANParams/VidGANState (models/vid_dcgan.py) -> int8 serving tree
+    covering the full generate_videos forward (z_model_lib.py:353-382 MLP
+    composed with the frozen image generator)."""
+    vg, vs = params.vid_generator, state.vid_generator
+    qvid = {"lin3": quantize_weight(vg["lin3"], out_axis=1)}
+    for i in range(3):
+        qvid[f"lin{i}"] = quantize_weight(
+            fold_bn(vg[f"lin{i}"], vg[f"bn{i}"], vs[f"bn{i}"], out_axis=1),
+            out_axis=1)
+    return {
+        "vid": qvid,
+        "img": quantize_image_generator(params.img_generator,
+                                        state.img_generator),
+    }
+
+
+def vid_generator_q(qvid: Dict, z: Array, cfg: VidGANConfig) -> Array:
+    """Quantized mirror of vid_dcgan.vid_generator(..., train=False):
+    z (B, z_in) -> per-frame latents (B*T, z_out) in [-1, 1]."""
+    b, t = z.shape[0], cfg.vid_length
+    z_copied = jnp.broadcast_to(z[:, None, :], (b, t, cfg.z_input_size))
+    frame_numbers = jnp.linspace(-1.0, 1.0, t, dtype=jnp.float32)
+    frame_numbers = jnp.broadcast_to(frame_numbers[None, :, None], (b, t, 1))
+    h = jnp.concatenate([z_copied.astype(jnp.float32), frame_numbers],
+                        axis=-1)
+    h = h.reshape(b * t, cfg.z_input_size + 1)
+    for i in range(3):
+        h = jax.nn.relu(qlinear(qvid[f"lin{i}"], h))
+    return jnp.tanh(qlinear(qvid["lin3"], h))
+
+
+def generate_videos_q(q: Dict, z: Array, cfg: VidGANConfig
+                      ) -> Tuple[Array, Array]:
+    """Quantized mirror of vid_dcgan.generate_videos (inference): z (B, z_in)
+    -> (frames (B*T, s, s, c), per-frame latents (B*T, z_out))."""
+    g_out = vid_generator_q(q["vid"], z, cfg)
+    frames = image_generator_q(q["img"], g_out, cfg.image_gan)
+    return frames, g_out
+
+
+# ---------------------------------------------------------------------------
+# float twins of the quantized forwards (same BN folding, no quantization) —
+# the numerics oracle for tests and for isolating quantization error from
+# folding error.
+# ---------------------------------------------------------------------------
+
+def _affine(folded: Dict, x: Array) -> Array:
+    return jnp.dot(x.astype(jnp.float32), folded["w"]) + folded["b"]
+
+
+def image_generator_folded(params: Dict, state: Dict, z: Array,
+                           cfg: DCGANConfig) -> Array:
+    """f32 forward with BN pre-folded (no int8) — bit-comparable target for
+    quantization-error measurement."""
+    s16 = cfg.output_size // 16
+    gf = cfg.gf_dim
+    reps = params["h0_lin"]["w"].shape[1] // params["bn0"]["scale"].shape[0]
+    folded0 = fold_bn(params["h0_lin"], _tile_bn(params["bn0"], reps),
+                      _tile_bn(state["bn0"], reps), 1)
+    h = _affine(folded0, z)
+    h = jax.nn.relu(h.reshape(-1, s16, s16, gf * 8))
+    for i, name in enumerate(["h1_deconv", "h2_deconv", "h3_deconv"]):
+        folded = fold_bn(params[name], params[f"bn{i + 1}"],
+                         state[f"bn{i + 1}"], 2)
+        h = jax.nn.relu(nn.deconv2d(folded, h, dtype=jnp.float32))
+    h = nn.deconv2d(params["h4_deconv"], h, dtype=jnp.float32)
+    return jnp.tanh(h)

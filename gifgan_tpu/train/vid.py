@@ -230,6 +230,28 @@ def load_image_gan(ts: VidTrainState, ckpt_dir: str, step=None) -> VidTrainState
     return VidTrainState(**tree)
 
 
+def quantize_sampler(ts: VidTrainState, cfg: VidGANConfig):
+    """int8 serving sampler: quantize the frozen generator stack once
+    (ops/quant.py — BN folded, per-channel int8 weights) and return
+    (qtree, jitted fn(qtree, z) -> (B, T, s, s, c)).
+
+    2x MXU rate vs bf16 on v5e for the conv-bound sampler; parity with the
+    float path is pinned in tests/test_quant.py.
+    """
+    from gifgan_tpu.ops import quant
+
+    q = quant.quantize_vid_stack(ts.params, ts.state)
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def sample_q(q, z, cfg):
+        frames, _ = quant.generate_videos_q(q, z, cfg)
+        s = cfg.image_gan.output_size
+        return frames.reshape(z.shape[0], cfg.vid_length, s, s,
+                              cfg.image_gan.c_dim)
+
+    return q, sample_q
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def sample_videos(ts: VidTrainState, z: Array, cfg: VidGANConfig) -> Array:
     """Inference sampler (reference dump_sample, z_model_lib.py:261-330):

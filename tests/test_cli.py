@@ -66,6 +66,13 @@ def test_cli_train_vid_and_sample_wall(tmp_path):
     gifs = [f for f in os.listdir(wall) if f.endswith(".gif")]
     assert len(gifs) == 4
 
+    # int8-quantized serving path (ops/quant.py) renders the same wall
+    wall_q = str(tmp_path / "wall_q")
+    _run(["sample-wall", "--checkpoint", os.path.join(run_dir, "checkpoints"),
+          "--out-dir", wall_q, "--batch-size", "4", "--num-batches", "1",
+          "--int8"])
+    assert len([f for f in os.listdir(wall_q) if f.endswith(".gif")]) == 4
+
 
 def test_cli_train_recurrent(tmp_path):
     run_dir = str(tmp_path / "rec")

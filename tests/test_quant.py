@@ -1,0 +1,205 @@
+"""int8 serving-path quantization (ops/quant.py).
+
+Three layers of evidence, strongest first:
+  1. BN folding is EXACT (vs nn.linear/deconv2d + nn.batch_norm(train=False)).
+  2. Each quantized layer matches a numpy int oracle exactly (the int32
+     accumulator is integer math — no tolerance needed).
+  3. The end-to-end quantized generators track their float oracles closely
+     on boosted-param models (random-init DCGANs are degenerate — CLAUDE.md).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gifgan_tpu.core.config import DCGANConfig, VidGANConfig
+from gifgan_tpu.models import dcgan, vid_dcgan
+from gifgan_tpu.ops import nn, quant
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(42)
+
+
+def _rand_bn(key, ch):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    params = {"scale": 1.0 + 0.3 * jax.random.normal(k1, (ch,)),
+              "bias": 0.2 * jax.random.normal(k2, (ch,))}
+    state = {"mean": 0.5 * jax.random.normal(k3, (ch,)),
+             "var": jnp.exp(0.5 * jax.random.normal(k4, (ch,)))}
+    return params, state
+
+
+def test_fold_bn_linear_exact(key):
+    k1, k2, k3 = jax.random.split(key, 3)
+    layer = nn.linear_init(k1, 12, 24)
+    layer = {"w": layer["w"] * 5, "b": 0.1 * jax.random.normal(k2, (24,))}
+    bn_p, bn_s = _rand_bn(k3, 24)
+    x = jax.random.normal(key, (7, 12))
+
+    want, _ = nn.batch_norm(bn_p, bn_s, nn.linear(layer, x), train=False)
+    folded = quant.fold_bn(layer, bn_p, bn_s, out_axis=1)
+    got = jnp.dot(x, folded["w"]) + folded["b"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fold_bn_deconv_exact(key):
+    k1, k2 = jax.random.split(key)
+    layer = dcgan_layer = nn.deconv2d_init(k1, 16, 8)
+    layer = {"w": dcgan_layer["w"] * 5, "b": dcgan_layer["b"]}
+    bn_p, bn_s = _rand_bn(k2, 8)
+    x = jax.random.normal(key, (3, 4, 4, 16))
+
+    want, _ = nn.batch_norm(bn_p, bn_s,
+                            nn.deconv2d(layer, x, dtype=jnp.float32),
+                            train=False)
+    folded = quant.fold_bn(layer, bn_p, bn_s, out_axis=2)
+    got = nn.deconv2d(folded, x, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_quantize_weight_grid(key):
+    """Max-|w| element of each output channel maps to exactly +-127, and
+    dequantization error is bounded by scale/2 everywhere."""
+    w = 5 * jax.random.normal(key, (5, 5, 8, 16))
+    q = quant.quantize_weight({"w": w, "b": jnp.zeros((8,))}, out_axis=2)
+    assert q["wq"].dtype == jnp.int8
+    wq = np.asarray(q["wq"], np.int32)
+    assert (np.abs(wq).reshape(5 * 5, 8, 16).max(axis=(0, 2)) == 127).all()
+    deq = wq * np.asarray(q["ws"])[None, None, :, None]
+    err = np.abs(deq - np.asarray(w))
+    assert (err <= 0.5 * np.asarray(q["ws"])[None, None, :, None]
+            + 1e-6).all()
+
+
+def test_qlinear_matches_numpy_int_oracle(key):
+    """The int32 accumulation path is integer-exact: rebuild it in numpy."""
+    k1, k2 = jax.random.split(key)
+    x = 3 * jax.random.normal(k1, (9, 32))
+    layer = {"w": 2 * jax.random.normal(k2, (32, 16)),
+             "b": jnp.arange(16, dtype=jnp.float32) / 7}
+    q = quant.quantize_weight(layer, out_axis=1)
+    got = np.asarray(quant.qlinear(q, x))
+
+    s_x = max(np.abs(np.asarray(x)).max() / 127.0, 1e-12)
+    xq = np.clip(np.round(np.asarray(x) / s_x), -127, 127).astype(np.int64)
+    acc = xq @ np.asarray(q["wq"], np.int64)
+    want = acc.astype(np.float32) * (s_x * np.asarray(q["ws"])) \
+        + np.asarray(layer["b"])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_qdeconv2d_matches_float_on_exact_grid(key):
+    """With activations and weights already ON the int8 grid (s_x = 1 by
+    planting a 127, q dict built directly), the quantized deconv equals
+    ops/nn.py's TF-exact float deconv EXACTLY — pins the padding/flip
+    plumbing. Accumulators stay < 2^24 so the float conv is integer-exact."""
+    k1, k2 = jax.random.split(key)
+    x = jax.random.randint(k1, (2, 4, 4, 6), -126, 127).astype(jnp.float32)
+    x = x.at[0, 0, 0, 0].set(127.0)  # forces s_x == 1 in quantize_act
+    wq = jax.random.randint(k2, (5, 5, 3, 6), -15, 16)
+    s_w = jnp.array([0.25, 0.5, 0.125])
+    bias = jnp.array([1.0, -2.0, 0.5])
+    q = {"wq": wq.astype(jnp.int8), "ws": s_w, "b": bias}
+    layer = {"w": wq.astype(jnp.float32) * s_w[None, None, :, None],
+             "b": bias}
+
+    want = nn.deconv2d(layer, x, dtype=jnp.float32)
+    got = quant.qdeconv2d(q, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-5)
+
+
+def _boosted_image_gan(key, cfg):
+    params, state = dcgan.init_generator(key, cfg)
+    params = jax.tree_util.tree_map(lambda x: x * 5, params)
+    # realistic running moments: one train-mode pass
+    z = jax.random.uniform(jax.random.PRNGKey(1), (32, cfg.z_dim),
+                           minval=-1, maxval=1)
+    _, state = dcgan.generator(params, state, z, cfg, train=True)
+    return params, state
+
+
+def test_image_generator_q_tracks_float(key):
+    cfg = DCGANConfig(output_size=32, c_dim=3, z_dim=25,
+                      gf_dim=16, compute_dtype="float32")
+    params, state = _boosted_image_gan(key, cfg)
+    z = jax.random.uniform(jax.random.PRNGKey(2), (16, cfg.z_dim),
+                           minval=-1, maxval=1)
+
+    want, _ = dcgan.generator(params, state, z, cfg, train=False)
+    q = quant.quantize_image_generator(params, state)
+    got = jax.jit(quant.image_generator_q,
+                  static_argnames="cfg")(q, z, cfg)
+
+    assert got.shape == want.shape
+    w, g = np.asarray(want, np.float64), np.asarray(got, np.float64)
+    mae = np.abs(w - g).mean()
+    corr = np.corrcoef(w.ravel(), g.ravel())[0, 1]
+    assert mae < 0.06, mae          # output range is [-1, 1]
+    assert corr > 0.995, corr
+
+
+def test_folded_float_twin_matches_generator(key):
+    """Isolates folding from quantization: the float twin with BN pre-folded
+    must match the real generator to float precision."""
+    cfg = DCGANConfig(output_size=32, c_dim=1, z_dim=10,
+                      gf_dim=8, compute_dtype="float32")
+    params, state = _boosted_image_gan(key, cfg)
+    z = jax.random.uniform(jax.random.PRNGKey(3), (4, cfg.z_dim),
+                           minval=-1, maxval=1)
+    want, _ = dcgan.generator(params, state, z, cfg, train=False)
+    got = quant.image_generator_folded(params, state, z, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_generate_videos_q_tracks_float(key):
+    img = DCGANConfig(output_size=32, c_dim=1, z_dim=16, gf_dim=16,
+                      compute_dtype="float32")
+    cfg = VidGANConfig(z_input_size=20, z_output_size=16, vid_length=4,
+                       hidden_dim=32, image_gan=img,
+                       compute_dtype="float32")
+    params, state = vid_dcgan.init(key, cfg)
+    params = jax.tree_util.tree_map(lambda x: x * 5, params)
+    z = jax.random.uniform(jax.random.PRNGKey(4), (6, cfg.z_input_size),
+                           minval=-1, maxval=1)
+    # populate running moments
+    _, _, gs, igs = vid_dcgan.generate_videos(params, state, z, cfg,
+                                              train=True)
+    state = state._replace(vid_generator=gs, img_generator=igs)
+
+    frames_f, gout_f, _, _ = vid_dcgan.generate_videos(params, state, z,
+                                                       cfg, train=False)
+    q = quant.quantize_vid_stack(params, state)
+    frames_q, gout_q = jax.jit(quant.generate_videos_q,
+                               static_argnames="cfg")(q, z, cfg)
+
+    assert frames_q.shape == frames_f.shape
+    assert gout_q.shape == gout_f.shape
+    for a, b, tol in ((gout_f, gout_q, 0.05), (frames_f, frames_q, 0.08)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        assert np.abs(a - b).mean() < tol
+        assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.99
+
+
+def test_quantized_params_are_int8_and_small(key):
+    """The serving tree actually ships int8 weights (4x smaller than f32)."""
+    img = DCGANConfig(output_size=32, c_dim=1, z_dim=16, gf_dim=16,
+                      compute_dtype="float32")
+    cfg = VidGANConfig(z_input_size=20, z_output_size=16, vid_length=4,
+                       hidden_dim=32, image_gan=img)
+    params, state = vid_dcgan.init(key, cfg)
+    q = quant.quantize_vid_stack(params, state)
+    leaves = jax.tree_util.tree_leaves(q)
+    int8_bytes = sum(l.size for l in leaves if l.dtype == jnp.int8)
+    other_bytes = sum(l.size * l.dtype.itemsize for l in leaves
+                      if l.dtype != jnp.int8)
+    assert int8_bytes > 0
+    # scales + biases are O(channels); weights dominate
+    assert other_bytes < int8_bytes
