@@ -274,14 +274,22 @@ def _load_vid_sampler(args):
                                                 ts._asdict()))
 
     if getattr(args, "int8", False):
-        q, sample_q = vid_train.quantize_sampler(ts, cfg)
+        tree, base_fn = vid_train.quantize_sampler(ts, cfg)
+    else:
+        tree, base_fn = ts, vid_train.sample_videos
+
+    mesh = _mesh_arg(args)
+    if mesh is not None:
+        from gifgan_tpu.parallel.dp import make_sharded_sampler
+
+        sharded = make_sharded_sampler(base_fn, mesh,
+                                       static_args={"cfg": cfg})
 
         def sample_fn(z):
-            return np.asarray(sample_q(q, jnp_asarray_f32(z), cfg))
+            return np.asarray(sharded(tree, jnp_asarray_f32(z)))
     else:
         def sample_fn(z):
-            return np.asarray(vid_train.sample_videos(ts, np.asarray(z),
-                                                      cfg))
+            return np.asarray(base_fn(tree, jnp_asarray_f32(z), cfg))
 
     return cfg, sample_fn
 
@@ -889,6 +897,10 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="serve the int8-quantized generator stack "
                         "(2x MXU rate on v5e; ops/quant.py)")
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="shard the sampler batch over N mesh devices "
+                        "(0=all devices, 1=single device [default], N>1); "
+                        "batch size must divide N")
     p.set_defaults(fn=cmd_sample_wall)
 
     p = sub.add_parser("track", help="face-track preprocessing over a dir")

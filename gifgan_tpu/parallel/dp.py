@@ -36,6 +36,43 @@ def shard_batch_arrays(mesh: Mesh, *arrays):
     return out if len(out) > 1 else out[0]
 
 
+def make_sharded_sampler(sample_fn: Callable, mesh: Mesh, *,
+                         static_args: dict) -> Callable:
+    """Data-parallel inference: shard a sampler's z batch over the mesh
+    `data` axis with the parameter tree replicated.
+
+    sample_fn signature: (tree, z, **static_args) -> array whose axis 0 is
+    the batch (e.g. train/vid.sample_videos, or the int8 sample_q from
+    quantize_sampler). Inference has no cross-batch coupling (BN uses
+    running moments), so sharding is a pure layout change — outputs match
+    single-device execution; tests/test_sharding.py pins it. The output
+    stays batch-sharded so per-shard post-processing never gathers.
+    """
+    rep = replicated_sharding(mesh)
+    n_data = mesh.shape[DATA_AXIS]
+    sample_fn = getattr(sample_fn, "__wrapped__", sample_fn)
+
+    def bound(tree, z):
+        return sample_fn(tree, z, **static_args)
+
+    compiled_cache = {}
+
+    def call(tree, z):
+        if z.shape[0] % n_data:
+            raise ValueError(
+                f"sampler batch {z.shape[0]} must divide the mesh data "
+                f"axis ({n_data}); pad the z batch or change --batch-size")
+        if z.shape not in compiled_cache:
+            tree_sh = jax.tree_util.tree_map(lambda _: rep, tree)
+            compiled_cache[z.shape] = jax.jit(
+                bound,
+                in_shardings=(tree_sh, data_sharding(mesh, ndim=z.ndim)),
+                out_shardings=NamedSharding(mesh, P(DATA_AXIS)))
+        return compiled_cache[z.shape](tree, z)
+
+    return call
+
+
 def make_sharded_step(step_fn: Callable, mesh: Mesh, *, static_args: dict,
                       donate_state: bool = True,
                       batch_axis: int = 0,

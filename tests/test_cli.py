@@ -73,6 +73,13 @@ def test_cli_train_vid_and_sample_wall(tmp_path):
           "--int8"])
     assert len([f for f in os.listdir(wall_q) if f.endswith(".gif")]) == 4
 
+    # data-parallel int8 serving over the virtual 8-device mesh
+    wall_dp = str(tmp_path / "wall_dp")
+    _run(["sample-wall", "--checkpoint", os.path.join(run_dir, "checkpoints"),
+          "--out-dir", wall_dp, "--batch-size", "8", "--num-batches", "1",
+          "--int8", "--data-parallel", "8"])
+    assert len([f for f in os.listdir(wall_dp) if f.endswith(".gif")]) == 8
+
 
 def test_cli_train_recurrent(tmp_path):
     run_dir = str(tmp_path / "rec")

@@ -285,3 +285,41 @@ def test_dp_sp_tp_vid_step_matches_single_device(key):
         and MODEL_AXIS in str(leaf.sharding.spec)
     ]
     assert sharded, "no opt_d slot model-sharded on the 3-axis mesh"
+
+
+def test_sharded_sampler_matches_single_device(key):
+    """Data-parallel inference (dp.make_sharded_sampler) is a pure layout
+    change: float and int8 sampler outputs match single-device execution,
+    and a batch that doesn't divide the data axis is rejected."""
+    import pytest
+
+    from gifgan_tpu.parallel.dp import make_sharded_sampler
+
+    cfg = VidGANConfig(z_input_size=20, z_output_size=16, vid_length=4,
+                       hidden_dim=32, image_gan=IMG)
+    ts = vid_train.init_train_state(key, cfg, TrainConfig(batch_size=8))
+    ts = vid_train.VidTrainState(
+        jax.tree_util.tree_map(lambda x: x * 5, ts.params), ts.state,
+        ts.opt_g, ts.opt_d, ts.step)
+    z = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (8, 20)).astype(np.float32))
+    mesh = make_mesh(data_parallel=8)
+
+    want = vid_train.sample_videos(ts, z, cfg)
+    sharded = make_sharded_sampler(vid_train.sample_videos, mesh,
+                                   static_args={"cfg": cfg})
+    got = sharded(ts, z)
+    assert got.sharding.spec[0] == DATA_AXIS
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    q, sample_q = vid_train.quantize_sampler(ts, cfg)
+    want_q = sample_q(q, z, cfg)
+    sharded_q = make_sharded_sampler(sample_q, mesh,
+                                     static_args={"cfg": cfg})
+    got_q = sharded_q(q, z)
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(want_q),
+                               rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="divide"):
+        sharded(ts, z[:3])
