@@ -203,3 +203,35 @@ def test_quantized_params_are_int8_and_small(key):
     assert int8_bytes > 0
     # scales + biases are O(channels); weights dominate
     assert other_bytes < int8_bytes
+
+def test_int8_quality_eval_script(tmp_path):
+    """examples/int8_quality_eval.py end-to-end at toy scale: trains a tiny
+    vid run via the CLI, then compares float vs int8 sampling on the saved
+    checkpoint (config auto-loaded from the run's params.json)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from gifgan_tpu import cli
+
+    run_dir = str(tmp_path / "vid")
+    cli.main(["train-vid", "--run-dir", run_dir, "--c-dim", "3",
+              "--vid-z-dim", "16", "--vid-length", "4",
+              "--output-size", "32", "--z-dim", "12", "--gf-dim", "8",
+              "--df-dim", "8", "--batch-size", "8", "--epochs", "1",
+              "--sample-every", "0", "--checkpoint-every", "0",
+              "--steps-limit", "2", "--data-parallel", "1",
+              "--dataset", "synthetic", "--dataset-size", "16"])
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "int8_quality_eval.py")
+    out = tmp_path / "q.json"
+    r = subprocess.run(
+        [sys.executable, script, "--checkpoint",
+         os.path.join(run_dir, "checkpoints"), "--clips", "4", "--batch",
+         "4", "--cpu", "--dtype", "float32", "--json", str(out)],
+        capture_output=True, text=True, timeout=420, env=os.environ.copy())
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    res = json.loads(out.read_text())
+    assert res["clips"] == 4
+    assert res["psnr_db"] > 20  # int8 tracks float on a (barely) trained net
