@@ -73,6 +73,11 @@ def _add_train_args(p, batch=64):
     p.add_argument("--steps-limit", type=int, default=None)
     p.add_argument("--data-parallel", type=int, default=0,
                    help="devices on the mesh data axis (0=all, 1=no mesh)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3: shard params + Adam slots over the data "
+                        "axis (parallel/fsdp.py); needs a mesh")
+    p.add_argument("--fsdp-min-size", type=int, default=2048,
+                   help="leaves with fewer elements stay replicated")
 
 
 def _add_dcgan_args(p):
@@ -141,7 +146,8 @@ def cmd_train_dcgan(args):
         return
     loops.train_dcgan(_stills_source(args, cfg), cfg, _train_cfg(args),
                       mesh=_mesh_arg(args), steps_limit=args.steps_limit,
-                      chunk=args.chunk)
+                      chunk=args.chunk, fsdp=args.fsdp,
+                      fsdp_min_size=args.fsdp_min_size)
 
 
 def cmd_train_vid(args):
@@ -213,7 +219,8 @@ def cmd_train_vid(args):
     loops.train_vid_dcgan(clips_iter, cfg, _train_cfg(args),
                           image_gan_ckpt=args.image_gan_checkpoint,
                           mesh=_mesh_arg(args), steps_limit=args.steps_limit,
-                          chunk=args.chunk)
+                          chunk=args.chunk, fsdp=args.fsdp,
+                          fsdp_min_size=args.fsdp_min_size)
 
 
 def cmd_train_recurrent(args):

@@ -90,7 +90,8 @@ def train_dcgan(images_iter: Callable[[], Iterator[np.ndarray]],
                 mesh=None, resume: bool = True,
                 steps_limit: Optional[int] = None,
                 chunk: int = 1,
-                stills_u8: Optional[np.ndarray] = None):
+                stills_u8: Optional[np.ndarray] = None,
+                fsdp: bool = False, fsdp_min_size: int = 2048):
     """images_iter: () -> iterator of (B, s, s, c) float [-1,1] batches (one
     pass = one epoch). Returns the final TrainState.
 
@@ -124,12 +125,26 @@ def train_dcgan(images_iter: Callable[[], Iterator[np.ndarray]],
         rngs = _resume_rngs(tcfg.seed, int(ts.step))
 
     if mesh is not None:
-        ts = shard_train_state(mesh, ts)
+        state_sh = None
+        if fsdp:
+            # ZeRO-3 layout (parallel/fsdp.py): params + Adam slots sharded
+            # over the same `data` axis as the batch
+            from gifgan_tpu.parallel.fsdp import (fsdp_state_shardings,
+                                                  place_fsdp)
+
+            ts = place_fsdp(mesh, ts, min_size=fsdp_min_size)
+            state_sh = fsdp_state_shardings(mesh, ts,
+                                            min_size=fsdp_min_size)
+        else:
+            ts = shard_train_state(mesh, ts)
         step_fn = make_sharded_step(gan.train_step, mesh,
-                                    static_args={"cfg": cfg, "tcfg": tcfg})
+                                    static_args={"cfg": cfg, "tcfg": tcfg},
+                                    state_shardings=state_sh)
         chunk_fn = make_sharded_step(gan.train_chunk, mesh,
                                      static_args={"cfg": cfg, "tcfg": tcfg},
-                                     batch_axis=1) if chunk > 1 else None
+                                     batch_axis=1,
+                                     state_shardings=state_sh) \
+            if chunk > 1 else None
     else:
         step_fn = lambda *a: gan.train_step(*a, cfg, tcfg)
         chunk_fn = ((lambda *a: gan.train_chunk(*a, cfg, tcfg))
@@ -226,7 +241,8 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
                     mesh=None, resume: bool = True,
                     steps_limit: Optional[int] = None,
                     chunk: int = 1,
-                    clips_u8: Optional[np.ndarray] = None):
+                    clips_u8: Optional[np.ndarray] = None,
+                    fsdp: bool = False, fsdp_min_size: int = 2048):
     """clips_iter yields time-folded (B*T, s, s, c) float [-1,1] batches.
 
     chunk>1 accumulates K batches and runs them as ONE XLA program
@@ -263,14 +279,26 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
         print(f"loaded frozen image GAN from {image_gan_ckpt}")
 
     if mesh is not None:
-        ts = shard_train_state(mesh, ts)
+        state_sh = None
+        if fsdp:
+            from gifgan_tpu.parallel.fsdp import (fsdp_state_shardings,
+                                                  place_fsdp)
+
+            ts = place_fsdp(mesh, ts, min_size=fsdp_min_size)
+            state_sh = fsdp_state_shardings(mesh, ts,
+                                            min_size=fsdp_min_size)
+        else:
+            ts = shard_train_state(mesh, ts)
         step_fn = make_sharded_step(vid_train.train_step, mesh,
-                                    static_args={"cfg": cfg, "tcfg": tcfg})
+                                    static_args={"cfg": cfg, "tcfg": tcfg},
+                                    state_shardings=state_sh)
         # chunked (K, B*T, ...) stacks shard over axis 1 — frames shard like
         # batch, the chunk axis is the lax.scan axis (tests/test_sharding.py)
         chunk_fn = make_sharded_step(vid_train.train_chunk, mesh,
                                      static_args={"cfg": cfg, "tcfg": tcfg},
-                                     batch_axis=1) if chunk > 1 else None
+                                     batch_axis=1,
+                                     state_shardings=state_sh) \
+            if chunk > 1 else None
     else:
         step_fn = lambda *a: vid_train.train_step(*a, cfg, tcfg)
         chunk_fn = ((lambda *a: vid_train.train_chunk(*a, cfg, tcfg))

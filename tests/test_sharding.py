@@ -323,3 +323,55 @@ def test_sharded_sampler_matches_single_device(key):
 
     with pytest.raises(ValueError, match="divide"):
         sharded(ts, z[:3])
+
+
+def test_fsdp_vid_step_matches_single_device(key):
+    """FSDP (parallel/fsdp.py): params AND Adam slots sharded over the
+    `data` axis (ZeRO-3 layout — XLA all-gathers weights per layer,
+    reduce-scatters updates) is a pure layout change: losses match
+    unsharded single-device execution, and large param/slot leaves are
+    genuinely data-sharded."""
+    from gifgan_tpu.parallel.fsdp import fsdp_state_shardings, place_fsdp
+
+    cfg = VidGANConfig(z_input_size=20, z_output_size=16, vid_length=4,
+                       hidden_dim=32, d_filters=16, image_gan=IMG,
+                       first_frame_loss_scalar=1.0)
+    tcfg = TrainConfig(batch_size=8, gen_updates=2)
+    frames = np.tanh(np.random.default_rng(0).standard_normal(
+        (8 * 4, 32, 32, 1))).astype(np.float32)
+    z = np.random.default_rng(1).uniform(-1, 1, (8, 20)).astype(np.float32)
+    rng = jax.random.PRNGKey(0)
+
+    ts_ref = vid_train.init_train_state(key, cfg, tcfg)
+    _, m_ref = vid_train.train_step(ts_ref, jnp.asarray(frames),
+                                    jnp.asarray(z), rng, cfg, tcfg)
+
+    mesh = make_mesh(data_parallel=8)
+    min_size = 256  # tiny test model: shard anything with >= 256 elements
+    ts = place_fsdp(mesh, vid_train.init_train_state(key, cfg, tcfg),
+                    min_size=min_size)
+    sh = fsdp_state_shardings(mesh, ts, min_size=min_size)
+    step = make_sharded_step(vid_train.train_step, mesh,
+                             static_args={"cfg": cfg, "tcfg": tcfg},
+                             state_shardings=sh)
+    fb, zb = shard_batch_arrays(mesh, frames, z)
+    ts_out, m = step(ts, fb, zb, rng)
+
+    for k in ("d_loss", "g_loss", "first_frame_loss"):
+        a = float(np.asarray(m_ref[k]))
+        b = float(np.asarray(m[k]))
+        assert abs(a - b) < 1e-3 + 1e-3 * abs(a), (k, a, b)
+
+    def sharded_leaves(tree):
+        return [jax.tree_util.keystr(p)
+                for p, leaf in jax.tree_util.tree_leaves_with_path(tree)
+                if hasattr(leaf, "sharding")
+                and DATA_AXIS in str(leaf.sharding.spec)]
+
+    assert sharded_leaves(ts_out.params), "no param leaf data-sharded"
+    assert sharded_leaves(ts_out.opt_d), "no Adam slot data-sharded"
+    # memory actually drops: a sharded leaf's per-device shard is 1/8
+    big = [leaf for leaf in jax.tree_util.tree_leaves(ts_out.params)
+           if leaf.size >= min_size]
+    assert all(leaf.addressable_shards[0].data.size == leaf.size // 8
+               for leaf in big)

@@ -364,3 +364,24 @@ def test_train_dcgan_stills_u8_rejects_mesh_and_small_corpus(tmp_path):
         loops.train_dcgan(None, IMG, tcfg, mesh=mesh, stills_u8=data_u8)
     with pytest.raises(ValueError, match="batch_size"):
         loops.train_dcgan(None, IMG, tcfg, stills_u8=data_u8)
+
+
+def test_train_vid_fsdp_cli(tmp_path):
+    """train-vid --fsdp on the virtual 8-device mesh: the ZeRO-3 layout
+    trains end-to-end through the CLI (checkpoint written, resume intact)."""
+    from gifgan_tpu import cli
+
+    run_dir = str(tmp_path / "vid_fsdp")
+    cli.main(["train-vid", "--run-dir", run_dir, "--c-dim", "3",
+              "--vid-z-dim", "16", "--vid-length", "4",
+              "--output-size", "32", "--z-dim", "12", "--gf-dim", "8",
+              "--df-dim", "8", "--batch-size", "8", "--epochs", "1",
+              "--sample-every", "0", "--checkpoint-every", "2",
+              "--steps-limit", "2", "--data-parallel", "8",
+              "--fsdp", "--fsdp-min-size", "256",
+              "--dataset", "synthetic", "--dataset-size", "16"])
+    import os
+
+    from gifgan_tpu.core import checkpoint as ckpt
+
+    assert ckpt.latest_step(os.path.join(run_dir, "checkpoints")) == 2
