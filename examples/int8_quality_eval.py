@@ -8,7 +8,8 @@ float and the int8 sampler (ops/quant.py), and report
   - pixel agreement (MAE in the uint8 domain + PSNR), and
   - the face track-rate metric (eval/track_rate.py — the project's headline
     quality number, reference consistency_experiment methodology) for BOTH
-    variants on disjoint z batches of --clips each.
+    variants on the SAME z batches (a paired comparison: any rate gap is
+    attributable to quantization, not sampling noise).
 
 A serving optimization that moves the quality metric is not an optimization;
 this is the falsifiable check.

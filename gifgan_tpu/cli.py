@@ -905,9 +905,10 @@ def main(argv=None):
                    help="serve the int8-quantized generator stack "
                         "(2x MXU rate on v5e; ops/quant.py)")
     p.add_argument("--data-parallel", type=int, default=1,
-                   help="shard the sampler batch over N mesh devices "
-                        "(0=all devices, 1=single device [default], N>1); "
-                        "batch size must divide N")
+                   help="shard the sampler batch over the mesh data axis "
+                        "(0=all devices, 1=single device [default]; N>1 "
+                        "must equal the device count, like the train "
+                        "commands); N must divide --batch-size")
     p.set_defaults(fn=cmd_sample_wall)
 
     p = sub.add_parser("track", help="face-track preprocessing over a dir")

@@ -60,8 +60,9 @@ def make_sharded_sampler(sample_fn: Callable, mesh: Mesh, *,
     def call(tree, z):
         if z.shape[0] % n_data:
             raise ValueError(
-                f"sampler batch {z.shape[0]} must divide the mesh data "
-                f"axis ({n_data}); pad the z batch or change --batch-size")
+                f"the mesh data axis ({n_data}) must divide the sampler "
+                f"batch ({z.shape[0]}); grow --batch-size to a multiple "
+                f"of {n_data} or shrink the mesh")
         if z.shape not in compiled_cache:
             tree_sh = jax.tree_util.tree_map(lambda _: rep, tree)
             compiled_cache[z.shape] = jax.jit(

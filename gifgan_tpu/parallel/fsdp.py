@@ -60,3 +60,14 @@ def place_fsdp(mesh: Mesh, ts, axis: str = DATA_AXIS, min_size: int = 2048):
     """device_put a train state according to fsdp_state_shardings."""
     return jax.tree_util.tree_map(
         jax.device_put, ts, fsdp_state_shardings(mesh, ts, axis, min_size))
+
+
+def place_and_shardings(mesh: Mesh, ts, min_size: int = 2048):
+    """(placed train state, matching sharding pytree) — the pair
+    dp.make_sharded_step's state_shardings wants; shared by both train
+    loops so the FSDP wiring cannot diverge between them."""
+    if mesh is None:
+        raise ValueError("--fsdp requires a device mesh; it shards state "
+                         "over the `data` axis (use --data-parallel 0/N)")
+    ts = place_fsdp(mesh, ts, min_size=min_size)
+    return ts, fsdp_state_shardings(mesh, ts, min_size=min_size)

@@ -124,17 +124,18 @@ def train_dcgan(images_iter: Callable[[], Iterator[np.ndarray]],
         print(f"resumed from step {int(ts.step)}")
         rngs = _resume_rngs(tcfg.seed, int(ts.step))
 
+    if fsdp and mesh is None:
+        raise ValueError("fsdp=True requires a device mesh "
+                         "(--data-parallel 0 or N, not 1)")
     if mesh is not None:
         state_sh = None
         if fsdp:
             # ZeRO-3 layout (parallel/fsdp.py): params + Adam slots sharded
             # over the same `data` axis as the batch
-            from gifgan_tpu.parallel.fsdp import (fsdp_state_shardings,
-                                                  place_fsdp)
+            from gifgan_tpu.parallel.fsdp import place_and_shardings
 
-            ts = place_fsdp(mesh, ts, min_size=fsdp_min_size)
-            state_sh = fsdp_state_shardings(mesh, ts,
-                                            min_size=fsdp_min_size)
+            ts, state_sh = place_and_shardings(mesh, ts,
+                                               min_size=fsdp_min_size)
         else:
             ts = shard_train_state(mesh, ts)
         step_fn = make_sharded_step(gan.train_step, mesh,
@@ -278,15 +279,16 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
         ts = vid_train.load_image_gan(ts, image_gan_ckpt)
         print(f"loaded frozen image GAN from {image_gan_ckpt}")
 
+    if fsdp and mesh is None:
+        raise ValueError("fsdp=True requires a device mesh "
+                         "(--data-parallel 0 or N, not 1)")
     if mesh is not None:
         state_sh = None
         if fsdp:
-            from gifgan_tpu.parallel.fsdp import (fsdp_state_shardings,
-                                                  place_fsdp)
+            from gifgan_tpu.parallel.fsdp import place_and_shardings
 
-            ts = place_fsdp(mesh, ts, min_size=fsdp_min_size)
-            state_sh = fsdp_state_shardings(mesh, ts,
-                                            min_size=fsdp_min_size)
+            ts, state_sh = place_and_shardings(mesh, ts,
+                                               min_size=fsdp_min_size)
         else:
             ts = shard_train_state(mesh, ts)
         step_fn = make_sharded_step(vid_train.train_step, mesh,

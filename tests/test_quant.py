@@ -94,6 +94,32 @@ def test_qlinear_matches_numpy_int_oracle(key):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
+def test_qconv2d_matches_numpy_int_oracle(key):
+    """qconv2d (HWIO, stride-2 SAME) against a numpy int oracle — same
+    integer-exact standard as qlinear. (No serving path uses it yet — the
+    generators are linear+deconv — but the layer ships, so it's pinned.)"""
+    k1, k2 = jax.random.split(key)
+    x = 2 * jax.random.normal(k1, (3, 8, 8, 4))
+    layer = {"w": jax.random.normal(k2, (5, 5, 4, 6)),
+             "b": jnp.linspace(-1, 1, 6)}
+    q = quant.quantize_weight(layer, out_axis=3)
+    got = np.asarray(quant.qconv2d(q, x))
+
+    s_x = max(np.abs(np.asarray(x)).max() / 127.0, 1e-12)
+    xq = np.clip(np.round(np.asarray(x) / s_x), -127, 127).astype(np.int64)
+    wq = np.asarray(q["wq"], np.int64)
+    # TF SAME, n=8 k=5 s=2: pad_total = (4-1)*2 + 5 - 8 = 3 -> (low 1, high 2)
+    xp = np.pad(xq, ((0, 0), (1, 2), (1, 2), (0, 0)))
+    acc = np.zeros((3, 4, 4, 6), np.int64)
+    for i in range(5):
+        for j in range(5):
+            acc += np.einsum("bhwc,co->bhwo",
+                             xp[:, i:i + 8:2, j:j + 8:2], wq[i, j])
+    want = acc.astype(np.float32) * (s_x * np.asarray(q["ws"])) \
+        + np.asarray(layer["b"])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def test_qdeconv2d_matches_float_on_exact_grid(key):
     """With activations and weights already ON the int8 grid (s_x = 1 by
     planting a 127, q dict built directly), the quantized deconv equals
