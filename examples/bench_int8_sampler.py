@@ -79,9 +79,14 @@ def main():
                   f"float ({img.compute_dtype})")
 
     q, sample_q = vid_train.quantize_sampler(ts, cfg)
-    t_q = measure(lambda: sample_q(q, z, cfg), "int8")
+    t_q = measure(lambda: sample_q(q, z, cfg), "int8 dynamic")
 
-    print(f"int8 speedup: {t_f / t_q:.2f}x")
+    qs, _ = vid_train.quantize_sampler(ts, cfg, calib_batches=2,
+                                       calib_batch_size=args.batch)
+    t_s = measure(lambda: sample_q(qs, z, cfg), "int8 static-calib")
+
+    print(f"int8 speedup: dynamic {t_f / t_q:.2f}x, "
+          f"static {t_f / t_s:.2f}x")
 
 
 if __name__ == "__main__":

@@ -281,7 +281,8 @@ def _load_vid_sampler(args):
                                                 ts._asdict()))
 
     if getattr(args, "int8", False):
-        tree, base_fn = vid_train.quantize_sampler(ts, cfg)
+        tree, base_fn = vid_train.quantize_sampler(
+            ts, cfg, calib_batches=getattr(args, "int8_calib", 0))
     else:
         tree, base_fn = ts, vid_train.sample_videos
 
@@ -651,6 +652,11 @@ def cmd_explorer(args):
         from gifgan_tpu.ops import quant
 
         q = quant.quantize_image_generator(params.generator, state.generator)
+        if args.int8_calib:
+            zs = [np.random.default_rng(i).uniform(
+                      -1, 1, (args.batch_size, cfg.z_dim)).astype(np.float32)
+                  for i in range(args.int8_calib)]
+            q = quant.calibrate_image_generator(q, zs, cfg)
         sample_q = jax.jit(quant.image_generator_q, static_argnames="cfg")
 
         def sampler(z):
@@ -904,6 +910,11 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="serve the int8-quantized generator stack "
                         "(2x MXU rate on v5e; ops/quant.py)")
+    p.add_argument("--int8-calib", type=int, default=0,
+                   help="with --int8: bake static activation scales from "
+                        "N calibration batches (skips the per-layer "
+                        "dynamic max reduce; inputs beyond the calibrated "
+                        "range clip)")
     p.add_argument("--data-parallel", type=int, default=1,
                    help="shard the sampler batch over the mesh data axis "
                         "(0=all devices, 1=single device [default]; N>1 "
@@ -1062,6 +1073,9 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="serve the int8-quantized generator "
                         "(2x MXU rate on v5e; ops/quant.py)")
+    p.add_argument("--int8-calib", type=int, default=0,
+                   help="with --int8: static activation scales from N "
+                        "calibration batches")
     _add_tls_args(p)
     p.set_defaults(fn=cmd_explorer)
 

@@ -99,6 +99,25 @@ def quantize_act(x: Array) -> Tuple[Array, Array]:
     return xq.astype(jnp.int8), scale
 
 
+def _act(x: Array, q: Dict, obs=None, key: str = None
+         ) -> Tuple[Array, Array]:
+    """Activation quantization for one layer: static when the layer carries
+    a calibrated scale ('as', set by calibrate_*), dynamic otherwise —
+    static skips the per-layer max reduce (an extra full HBM pass over the
+    activation) and makes the graph input-independent.
+
+    obs: optional dict for calibration — records this layer's observed
+    max|x| under `key` (call unjitted so the maxima are concrete)."""
+    if obs is not None:
+        m = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        obs[key] = jnp.maximum(obs.get(key, 0.0), m)
+    if "as" in q:
+        scale = q["as"]
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -QMAX, QMAX)
+        return xq.astype(jnp.int8), scale
+    return quantize_act(x)
+
+
 # ---------------------------------------------------------------------------
 # quantized layers (signatures mirror ops/nn.py)
 # ---------------------------------------------------------------------------
@@ -108,18 +127,19 @@ def _dequant(acc: Array, s_x: Array, q: Dict) -> Array:
     return y + q["b"]
 
 
-def qlinear(q: Dict, x: Array) -> Array:
+def qlinear(q: Dict, x: Array, obs=None, key: str = None) -> Array:
     """int8 counterpart of nn.linear (w layout (in, out), out_axis=1)."""
-    xq, s_x = quantize_act(x)
+    xq, s_x = _act(x, q, obs, key)
     acc = jax.lax.dot_general(xq, q["wq"],
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     return _dequant(acc, s_x, q)
 
 
-def qconv2d(q: Dict, x: Array, stride: int = 2) -> Array:
+def qconv2d(q: Dict, x: Array, stride: int = 2, obs=None,
+            key: str = None) -> Array:
     """int8 counterpart of nn.conv2d (HWIO, out_axis=3)."""
-    xq, s_x = quantize_act(x)
+    xq, s_x = _act(x, q, obs, key)
     acc = jax.lax.conv_general_dilated(
         xq, q["wq"], (stride, stride), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -127,14 +147,15 @@ def qconv2d(q: Dict, x: Array, stride: int = 2) -> Array:
     return _dequant(acc, s_x, q)
 
 
-def qdeconv2d(q: Dict, x: Array, stride: int = 2) -> Array:
+def qdeconv2d(q: Dict, x: Array, stride: int = 2, obs=None,
+              key: str = None) -> Array:
     """int8 counterpart of nn.deconv2d's dilated form (ops/nn.py:125-155).
 
     q holds the TF-layout (k, k, out, in) kernel quantized along axis 2;
     the flip/transpose to HWIO happens on the int8 tensor (a pure layout
     permutation — quantization commutes with it).
     """
-    xq, s_x = quantize_act(x)
+    xq, s_x = _act(x, q, obs, key)
     w = q["wq"]
     k = w.shape[0]
     pad_total = max(k - stride, 0)
@@ -187,16 +208,19 @@ def quantize_image_generator(params: Dict, state: Dict) -> Dict:
     return q
 
 
-def image_generator_q(q: Dict, z: Array, cfg: DCGANConfig) -> Array:
+def image_generator_q(q: Dict, z: Array, cfg: DCGANConfig,
+                      obs=None) -> Array:
     """Quantized mirror of dcgan.generator(..., train=False): z (B, z_dim)
-    -> images (B, s, s, c) in [-1, 1]. BN is pre-folded; epilogues in f32."""
+    -> images (B, s, s, c) in [-1, 1]. BN is pre-folded; epilogues in f32.
+
+    obs: calibration capture dict (see _act); keys are layer names."""
     s16 = cfg.output_size // 16
     gf = cfg.gf_dim
-    h = qlinear(q["h0_lin"], z)
+    h = qlinear(q["h0_lin"], z, obs, "h0_lin")
     h = jax.nn.relu(h.reshape(-1, s16, s16, gf * 8))
     for name in ("h1_deconv", "h2_deconv", "h3_deconv"):
-        h = jax.nn.relu(qdeconv2d(q[name], h))
-    return jnp.tanh(qdeconv2d(q["h4_deconv"], h))
+        h = jax.nn.relu(qdeconv2d(q[name], h, obs=obs, key=name))
+    return jnp.tanh(qdeconv2d(q["h4_deconv"], h, obs=obs, key="h4_deconv"))
 
 
 # ---------------------------------------------------------------------------
@@ -220,7 +244,8 @@ def quantize_vid_stack(params, state) -> Dict:
     }
 
 
-def vid_generator_q(qvid: Dict, z: Array, cfg: VidGANConfig) -> Array:
+def vid_generator_q(qvid: Dict, z: Array, cfg: VidGANConfig,
+                    obs=None) -> Array:
     """Quantized mirror of vid_dcgan.vid_generator(..., train=False):
     z (B, z_in) -> per-frame latents (B*T, z_out) in [-1, 1]."""
     b, t = z.shape[0], cfg.vid_length
@@ -231,16 +256,18 @@ def vid_generator_q(qvid: Dict, z: Array, cfg: VidGANConfig) -> Array:
                         axis=-1)
     h = h.reshape(b * t, cfg.z_input_size + 1)
     for i in range(3):
-        h = jax.nn.relu(qlinear(qvid[f"lin{i}"], h))
-    return jnp.tanh(qlinear(qvid["lin3"], h))
+        h = jax.nn.relu(qlinear(qvid[f"lin{i}"], h, obs, f"lin{i}"))
+    return jnp.tanh(qlinear(qvid["lin3"], h, obs, "lin3"))
 
 
-def generate_videos_q(q: Dict, z: Array, cfg: VidGANConfig
+def generate_videos_q(q: Dict, z: Array, cfg: VidGANConfig, obs=None
                       ) -> Tuple[Array, Array]:
     """Quantized mirror of vid_dcgan.generate_videos (inference): z (B, z_in)
     -> (frames (B*T, s, s, c), per-frame latents (B*T, z_out))."""
-    g_out = vid_generator_q(q["vid"], z, cfg)
-    frames = image_generator_q(q["img"], g_out, cfg.image_gan)
+    vobs = None if obs is None else obs.setdefault("vid", {})
+    iobs = None if obs is None else obs.setdefault("img", {})
+    g_out = vid_generator_q(q["vid"], z, cfg, obs=vobs)
+    frames = image_generator_q(q["img"], g_out, cfg.image_gan, obs=iobs)
     return frames, g_out
 
 
@@ -271,3 +298,49 @@ def image_generator_folded(params: Dict, state: Dict, z: Array,
         h = jax.nn.relu(nn.deconv2d(folded, h, dtype=jnp.float32))
     h = nn.deconv2d(params["h4_deconv"], h, dtype=jnp.float32)
     return jnp.tanh(h)
+
+
+# ---------------------------------------------------------------------------
+# static activation calibration
+# ---------------------------------------------------------------------------
+
+def _with_scales(q: Dict, obs: Dict, margin: float) -> Dict:
+    """Copy of a quantized layer tree with static activation scales 'as'
+    installed from observed per-layer max|x| (see _act's obs capture)."""
+    out = {}
+    for name, layer in q.items():
+        if isinstance(layer, dict) and "wq" in layer:
+            out[name] = dict(layer)
+            if name in obs:
+                m = float(obs[name])
+                out[name]["as"] = jnp.float32(max(m * margin, 1e-10) / QMAX)
+        else:
+            out[name] = layer
+    return out
+
+
+def calibrate_vid_stack(q: Dict, z_batches, cfg: VidGANConfig,
+                        margin: float = 1.05) -> Dict:
+    """Static activation calibration for the full serving stack: run the
+    quantized forward over calibration z batches recording each layer's
+    max|x|, and bake per-layer static scales (x margin of headroom).
+
+    The static-scale forward skips the per-layer dynamic max reduce (a full
+    extra HBM pass over every activation) and its graph no longer depends on
+    the data. Inputs beyond the calibrated range CLIP — standard PTQ
+    behavior; margin trades clipping risk against resolution. Returns a new
+    q tree; the input is unmodified."""
+    obs = {}
+    for z in z_batches:
+        generate_videos_q(q, jnp.asarray(z), cfg, obs=obs)
+    return {"vid": _with_scales(q["vid"], obs.get("vid", {}), margin),
+            "img": _with_scales(q["img"], obs.get("img", {}), margin)}
+
+
+def calibrate_image_generator(q: Dict, z_batches, cfg: DCGANConfig,
+                              margin: float = 1.05) -> Dict:
+    """calibrate_vid_stack for a standalone image generator tree."""
+    obs = {}
+    for z in z_batches:
+        image_generator_q(q, jnp.asarray(z), cfg, obs=obs)
+    return _with_scales(q, obs, margin)

@@ -230,10 +230,17 @@ def load_image_gan(ts: VidTrainState, ckpt_dir: str, step=None) -> VidTrainState
     return VidTrainState(**tree)
 
 
-def quantize_sampler(ts: VidTrainState, cfg: VidGANConfig):
+def quantize_sampler(ts: VidTrainState, cfg: VidGANConfig,
+                     calib_batches: int = 0, calib_batch_size: int = 64,
+                     calib_key=None):
     """int8 serving sampler: quantize the frozen generator stack once
     (ops/quant.py — BN folded, per-channel int8 weights) and return
     (qtree, jitted fn(qtree, z) -> (B, T, s, s, c)).
+
+    calib_batches > 0 additionally bakes STATIC activation scales from that
+    many uniform-z calibration batches (quant.calibrate_vid_stack): the
+    forward then skips the per-layer dynamic max reduce and clips inputs
+    beyond the calibrated range.
 
     2x MXU rate vs bf16 on v5e for the conv-bound sampler; parity with the
     float path is pinned in tests/test_quant.py.
@@ -241,6 +248,13 @@ def quantize_sampler(ts: VidTrainState, cfg: VidGANConfig):
     from gifgan_tpu.ops import quant
 
     q = quant.quantize_vid_stack(ts.params, ts.state)
+    if calib_batches > 0:
+        key = calib_key if calib_key is not None else jax.random.PRNGKey(11)
+        zs = [jax.random.uniform(jax.random.fold_in(key, i),
+                                 (calib_batch_size, cfg.z_input_size),
+                                 minval=-1.0, maxval=1.0)
+              for i in range(calib_batches)]
+        q = quant.calibrate_vid_stack(q, zs, cfg)
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def sample_q(q, z, cfg):

@@ -261,3 +261,56 @@ def test_int8_quality_eval_script(tmp_path):
     res = json.loads(out.read_text())
     assert res["clips"] == 4
     assert res["psnr_db"] > 20  # int8 tracks float on a (barely) trained net
+
+
+def test_static_calibration_matches_dynamic(key):
+    """Static activation scales (calibrate_image_generator) reproduce the
+    dynamic-quant forward closely on in-distribution data, install an 'as'
+    scalar on every layer, and keep out-of-range inputs finite (clipping)."""
+    cfg = DCGANConfig(output_size=32, c_dim=3, z_dim=25,
+                      gf_dim=16, compute_dtype="float32")
+    params, state = _boosted_image_gan(key, cfg)
+    q = quant.quantize_image_generator(params, state)
+
+    calib = [jax.random.uniform(jax.random.PRNGKey(i), (16, cfg.z_dim),
+                                minval=-1, maxval=1) for i in (10, 11)]
+    qs = quant.calibrate_image_generator(q, calib, cfg)
+    assert all("as" in layer for layer in qs.values()), list(qs)
+    assert all("as" not in layer for layer in q.values())  # input untouched
+
+    z = jax.random.uniform(jax.random.PRNGKey(12), (8, cfg.z_dim),
+                           minval=-1, maxval=1)
+    dyn = quant.image_generator_q(q, z, cfg)
+    sta = jax.jit(quant.image_generator_q,
+                  static_argnames="cfg")(qs, z, cfg)
+    a, b = np.asarray(dyn, np.float64), np.asarray(sta, np.float64)
+    # static and dynamic use slightly different grids (calibrated max vs
+    # this batch's max) — same ballpark error as quantization itself
+    assert np.abs(a - b).mean() < 0.04
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.99
+
+    # 10x out-of-calibration-range input: clips, stays finite
+    wild = quant.image_generator_q(qs, 10.0 * z, cfg)
+    assert np.isfinite(np.asarray(wild)).all()
+
+
+def test_quantize_sampler_calibrated(key):
+    """vid_train.quantize_sampler(calib_batches>0) returns a tree whose
+    every quantized layer carries a static scale, and the jitted sampler
+    runs on it."""
+    from gifgan_tpu.core.config import TrainConfig
+    from gifgan_tpu.train import vid as vid_train
+
+    img = DCGANConfig(output_size=32, c_dim=1, z_dim=16, gf_dim=16)
+    cfg = VidGANConfig(z_input_size=20, z_output_size=16, vid_length=4,
+                       hidden_dim=32, image_gan=img)
+    ts = vid_train.init_train_state(key, cfg, TrainConfig(batch_size=4))
+    q, sample_q = vid_train.quantize_sampler(ts, cfg, calib_batches=2,
+                                             calib_batch_size=4)
+    layers = [l for grp in q.values() for l in grp.values()]
+    assert all("as" in l for l in layers), "uncalibrated layer remains"
+    z = jax.random.uniform(jax.random.PRNGKey(1), (4, 20),
+                           minval=-1, maxval=1)
+    vids = sample_q(q, z, cfg)
+    assert vids.shape == (4, 4, 32, 32, 1)
+    assert np.isfinite(np.asarray(vids)).all()
