@@ -262,12 +262,20 @@ def cmd_train_recurrent(args):
 
 
 def _load_vid_sampler(args):
-    """(cfg, sample_fn) from a VID_DCGAN run dir."""
+    """(cfg, sample_fn) from a VID_DCGAN run dir — or, with --quantized,
+    from a quantize-export int8 artifact (no float state loaded)."""
     import jax
 
     from gifgan_tpu.core import checkpoint as ckpt
     from gifgan_tpu.core.config import load_config
     from gifgan_tpu.train import vid as vid_train
+
+    if getattr(args, "quantized", False):
+        from gifgan_tpu.ops import quant
+
+        q, cfg = quant.load_artifact(args.checkpoint)
+        tree, base_fn = q, vid_train.sample_videos_q
+        return _finish_vid_sampler(args, cfg, tree, base_fn)
 
     params = load_config(os.path.join(args.checkpoint, os.pardir,
                                       "params.json")) \
@@ -285,7 +293,10 @@ def _load_vid_sampler(args):
             ts, cfg, calib_batches=getattr(args, "int8_calib", 0))
     else:
         tree, base_fn = ts, vid_train.sample_videos
+    return _finish_vid_sampler(args, cfg, tree, base_fn)
 
+
+def _finish_vid_sampler(args, cfg, tree, base_fn):
     mesh = _mesh_arg(args)
     if mesh is not None:
         from gifgan_tpu.parallel.dp import make_sharded_sampler
@@ -317,6 +328,32 @@ def cmd_sample_wall(args):
                  num_batches=None if args.continuous else args.num_batches,
                  continuous=args.continuous, fps=args.fps, seed=args.seed)
     print(f"wrote {n} gifs to {args.out_dir}")
+
+
+def cmd_quantize_export(args):
+    """Export an int8 serving artifact from a trained VID_DCGAN run (the
+    quantized tree is ~4x smaller than the float params and serving hosts
+    never touch the train state; load with sample-wall --quantized)."""
+    import jax
+
+    from gifgan_tpu.core import checkpoint as ckpt
+    from gifgan_tpu.core.config import load_config
+    from gifgan_tpu.ops import quant
+    from gifgan_tpu.train import vid as vid_train
+
+    params = load_config(os.path.join(args.checkpoint, os.pardir,
+                                      "params.json"))
+    cfg, tcfg = params["model"], params["train"]
+    ts = vid_train.init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    ts = vid_train.VidTrainState(**ckpt.restore(args.checkpoint,
+                                                ts._asdict()))
+    q, _ = vid_train.quantize_sampler(ts, cfg,
+                                      calib_batches=args.calib_batches)
+    path = quant.save_artifact(args.out_dir, q, cfg)
+    n_bytes = sum(os.path.getsize(os.path.join(path, f))
+                  for f in os.listdir(path))
+    print(f"int8 artifact written to {path} ({n_bytes / 1e6:.1f} MB, "
+          f"calib_batches={args.calib_batches})")
 
 
 def cmd_make_paths(args):
@@ -915,12 +952,25 @@ def main(argv=None):
                         "N calibration batches (skips the per-layer "
                         "dynamic max reduce; inputs beyond the calibrated "
                         "range clip)")
+    p.add_argument("--quantized", action="store_true",
+                   help="--checkpoint points at a quantize-export int8 "
+                        "artifact instead of a train run")
     p.add_argument("--data-parallel", type=int, default=1,
                    help="shard the sampler batch over the mesh data axis "
                         "(0=all devices, 1=single device [default]; N>1 "
                         "must equal the device count, like the train "
                         "commands); N must divide --batch-size")
     p.set_defaults(fn=cmd_sample_wall)
+
+    p = sub.add_parser("quantize-export",
+                       help="export an int8 serving artifact from a "
+                            "trained vid run")
+    p.add_argument("--checkpoint", required=True,
+                   help="run_dir/checkpoints of a train-vid run")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--calib-batches", type=int, default=0,
+                   help="bake static activation scales from N batches")
+    p.set_defaults(fn=cmd_quantize_export)
 
     p = sub.add_parser("track", help="face-track preprocessing over a dir")
     p.add_argument("--input-directory", required=True)

@@ -344,3 +344,42 @@ def calibrate_image_generator(q: Dict, z_batches, cfg: DCGANConfig,
     for z in z_batches:
         image_generator_q(q, jnp.asarray(z), cfg, obs=obs)
     return _with_scales(q, obs, margin)
+
+
+# ---------------------------------------------------------------------------
+# deployment artifact: the int8 serving tree as a standalone checkpoint
+# (4x smaller than the float train state; serving hosts never load the
+# float params or optimizer slots)
+# ---------------------------------------------------------------------------
+
+def save_artifact(out_dir: str, q: Dict, cfg: VidGANConfig) -> str:
+    """Write a quantized serving artifact: the q tree (core/checkpoint npz
+    format, step 0) + params.json carrying the model config."""
+    import os
+
+    from gifgan_tpu.core import checkpoint as ckpt
+    from gifgan_tpu.core.config import save_config
+
+    path = ckpt.save(out_dir, 0, q)
+    save_config({"model": cfg}, os.path.join(out_dir, "params.json"))
+    return path
+
+
+def load_artifact(out_dir: str) -> Tuple[Dict, VidGANConfig]:
+    """(q tree, cfg) from a save_artifact dir. The q tree is pure dicts, so
+    the structure rebuilds from the flat checkpoint keys alone — no float
+    model needed."""
+    import os
+
+    from gifgan_tpu.core import checkpoint as ckpt
+    from gifgan_tpu.core.config import load_config
+
+    q: Dict = {}
+    for key, arr in ckpt.load_flat(out_dir).items():
+        parts = key.split("/")
+        d = q
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(arr)
+    cfg = load_config(os.path.join(out_dir, "params.json"))["model"]
+    return q, cfg

@@ -255,15 +255,19 @@ def quantize_sampler(ts: VidTrainState, cfg: VidGANConfig,
                                  minval=-1.0, maxval=1.0)
               for i in range(calib_batches)]
         q = quant.calibrate_vid_stack(q, zs, cfg)
+    return q, sample_videos_q
 
-    @functools.partial(jax.jit, static_argnames=("cfg",))
-    def sample_q(q, z, cfg):
-        frames, _ = quant.generate_videos_q(q, z, cfg)
-        s = cfg.image_gan.output_size
-        return frames.reshape(z.shape[0], cfg.vid_length, s, s,
-                              cfg.image_gan.c_dim)
 
-    return q, sample_q
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def sample_videos_q(q, z: Array, cfg: VidGANConfig) -> Array:
+    """int8 counterpart of sample_videos over a quantized serving tree
+    (quantize_sampler, or quant.load_artifact on a serving host)."""
+    from gifgan_tpu.ops import quant
+
+    frames, _ = quant.generate_videos_q(q, z, cfg)
+    s = cfg.image_gan.output_size
+    return frames.reshape(z.shape[0], cfg.vid_length, s, s,
+                          cfg.image_gan.c_dim)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -80,6 +80,17 @@ def test_cli_train_vid_and_sample_wall(tmp_path):
           "--int8", "--data-parallel", "8"])
     assert len([f for f in os.listdir(wall_dp) if f.endswith(".gif")]) == 8
 
+    # export the int8 deployment artifact and serve straight from it —
+    # the float train state never loads on the serving path
+    qdir = str(tmp_path / "qmodel")
+    _run(["quantize-export", "--checkpoint",
+          os.path.join(run_dir, "checkpoints"), "--out-dir", qdir,
+          "--calib-batches", "2"])
+    wall_art = str(tmp_path / "wall_art")
+    _run(["sample-wall", "--checkpoint", qdir, "--out-dir", wall_art,
+          "--batch-size", "4", "--num-batches", "1", "--quantized"])
+    assert len([f for f in os.listdir(wall_art) if f.endswith(".gif")]) == 4
+
 
 def test_cli_train_recurrent(tmp_path):
     run_dir = str(tmp_path / "rec")
