@@ -378,7 +378,7 @@ def test_train_vid_fsdp_cli(tmp_path):
               "--df-dim", "8", "--batch-size", "8", "--epochs", "1",
               "--sample-every", "0", "--checkpoint-every", "2",
               "--steps-limit", "2", "--data-parallel", "8",
-              "--fsdp", "--fsdp-min-size", "256",
+              "--fsdp", "--fsdp-min-size", "256", "--chunk", "2",
               "--dataset", "synthetic", "--dataset-size", "16"])
     import os
 
