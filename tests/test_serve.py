@@ -690,3 +690,39 @@ def test_explorer_tls(core, tls_pair):
             assert json.loads(r.read())["response"] == "success"
     finally:
         server.shutdown()
+
+
+def test_explorer_concurrent_requests(core):
+    """Stress the threaded HTTP server: parallel clients hammering the
+    jit-backed sampler routes must all succeed with consistent payloads
+    (the per-request core lock serializes sampler access — SURVEY §5.2;
+    a race here corrupts the shared face registry or the jit cache)."""
+    import threading
+
+    server = serve(core, port=0, background=True)
+    port = server.server_address[1]
+    errors = []
+
+    def worker(i):
+        try:
+            for j in range(8):
+                route = ("/random_faces" if (i + j) % 2
+                         else "/init_face?step_size=0.5")
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}{route}", timeout=30) as r:
+                    out = json.loads(r.read())
+                assert out["response"] == "success", out
+        except Exception as e:  # noqa: BLE001 — collected for the assert
+            errors.append((i, repr(e)))
+
+    try:
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+            assert not t.is_alive(), "worker hung"
+    finally:
+        server.shutdown()
+    assert not errors, errors
