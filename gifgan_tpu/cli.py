@@ -743,6 +743,31 @@ def cmd_webcam_serve(args):
           tls_cert=args.tls_cert, tls_key=args.tls_key)
 
 
+def _image_dir_to_batch(d: str, size: int, c_dim: int) -> np.ndarray:
+    """Directory of pngs/jpgs -> (N, size, size, c) float images in [-1, 1]
+    (resized like _stills_u8)."""
+    import types
+
+    args = types.SimpleNamespace(dataset=d, dataset_size=0)
+    cfg = types.SimpleNamespace(output_size=size, c_dim=c_dim)
+    return _stills_u8(args, cfg).astype(np.float32) / 127.5 - 1.0
+
+
+def cmd_eval_fad(args):
+    """Fréchet Activation Distance between two image sets under a trained
+    image-D's h2 embedding (eval/fad.py) — the automated distribution-level
+    quality metric complementing eval-track-rate."""
+    from gifgan_tpu.eval.fad import fad
+
+    cfg, params, state = _load_dcgan_from_run(args.checkpoint)
+    real = _image_dir_to_batch(args.real_dir, cfg.output_size, cfg.c_dim)
+    fake = _image_dir_to_batch(args.fake_dir, cfg.output_size, cfg.c_dim)
+    d = fad(params.discriminator, state.discriminator, real, fake, cfg,
+            batch=args.batch_size)
+    print(json.dumps({"fad": round(d, 6), "n_real": len(real),
+                      "n_fake": len(fake)}))
+
+
 def cmd_eval_track_rate(args):
     from gifgan_tpu.data.video import read_gif
     from gifgan_tpu.eval import face_track_rate, track_rate_report
@@ -1143,6 +1168,17 @@ def main(argv=None):
                    help="compile the inversion program before serving")
     _add_tls_args(p)
     p.set_defaults(fn=cmd_webcam_serve)
+
+    p = sub.add_parser("eval-fad",
+                       help="Fréchet activation distance between two image "
+                            "dirs under a trained image-D embedding")
+    p.add_argument("--checkpoint", required=True,
+                   help="run_dir/checkpoints of a train-dcgan run (the D "
+                        "provides the feature space)")
+    p.add_argument("--real-dir", required=True)
+    p.add_argument("--fake-dir", required=True)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.set_defaults(fn=cmd_eval_fad)
 
     p = sub.add_parser("eval-track-rate",
                        help="face-track-rate metric over sample dirs")
