@@ -60,6 +60,11 @@ def parse_args():
     p.add_argument("--ckpt-every-chunks", type=int, default=150)
     p.add_argument("--eval-every-chunks", type=int, default=150)
     p.add_argument("--eval-clips", type=int, default=32)
+    p.add_argument("--fad-frames", type=int, default=0,
+                   help="also log the Fréchet activation distance between "
+                        "N real corpus frames and N generated frames at "
+                        "every eval (feature space = the FROZEN image-D, "
+                        "stable across the run; 0 = off)")
     p.add_argument("--final-eval-clips", type=int, default=256)
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu) for smoke tests; "
@@ -206,6 +211,30 @@ def main():
         return {"rate": tracked / max(total, 1), "tracked": tracked,
                 "total": total}
 
+    def eval_fad(ts, key):
+        """Distribution-level health: FAD between real corpus frames and
+        generated frames under the frozen image-D embedding (eval/fad.py —
+        frozen => values comparable across the whole run)."""
+        if args.fad_frames <= 0:
+            return None
+        from gifgan_tpu.eval.fad import fad as fad_fn
+
+        n = args.fad_frames
+        kr, kf = jax.random.split(key)
+        s_px = cfg.image_gan.output_size
+        # real frames come back off the DEVICE corpus (the host copy is
+        # freed right after upload); sample() already scales to [-1, 1]
+        rid = jax.random.randint(kr, (max(n // T, 1),), 0, device_corpus.n)
+        real = np.asarray(device_corpus.sample(rid)
+                          ).reshape(-1, s_px, s_px, 3)[:n]
+        z = jax.random.uniform(kf, (max(n // T, 1), cfg.z_input_size),
+                               minval=-1.0, maxval=1.0)
+        fake = np.asarray(vid_train.sample_videos(ts, z, cfg)
+                          ).reshape(-1, s_px, s_px, 3)[:n]
+        return float(fad_fn(ts.params.img_discriminator,
+                            ts.state.img_discriminator, real, fake,
+                            cfg.image_gan, batch=min(n, 256)))
+
     def log(rec):
         with open(log_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
@@ -265,10 +294,12 @@ def main():
                 ev = eval_track_rate(ts, args.eval_clips,
                                      jax.random.PRNGKey(777))
                 ev.update({"kind": "eval", "chunk": c, "step": c * K,
-                           "wall_s": prior_wall + (time.time() - t_start)})
+                           "wall_s": prior_wall + (time.time() - t_start),
+                           "fad": eval_fad(ts, jax.random.PRNGKey(778 + c))})
                 log(ev)
                 print(f"[endurance] eval @step {c * K}: track-rate "
-                      f"{ev['tracked']}/{ev['total']}", flush=True)
+                      f"{ev['tracked']}/{ev['total']} fad={ev['fad']}",
+                      flush=True)
     finally:
         checkpoint.save(ckpt_dir, c * K, ts, max_to_keep=3)
         log({"kind": "final_ckpt", "chunk": c, "step": c * K,
@@ -276,7 +307,8 @@ def main():
 
     ev = eval_track_rate(ts, args.final_eval_clips, jax.random.PRNGKey(999))
     ev.update({"kind": "final_eval", "chunk": c, "step": c * K,
-               "wall_s": prior_wall + (time.time() - t_start)})
+               "wall_s": prior_wall + (time.time() - t_start),
+               "fad": eval_fad(ts, jax.random.PRNGKey(998))})
     log(ev)
     print(f"[endurance] DONE: {c * K} steps, final track-rate "
           f"{ev['tracked']}/{ev['total']}", flush=True)

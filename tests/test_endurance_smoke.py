@@ -29,7 +29,7 @@ def _run(run_dir, max_chunks):
          "--img-gan-dataset", "8", "--dtype", "float32",
          "--platform", "cpu", "--ckpt-every-chunks", "1",
          "--eval-every-chunks", "1000", "--eval-clips", "2",
-         "--final-eval-clips", "2"],
+         "--final-eval-clips", "2", "--fad-frames", "8"],
         capture_output=True, text=True, env=env, timeout=540)
 
 
@@ -58,3 +58,7 @@ def test_endurance_run_smoke_and_resume(tmp_path):
     last1 = max(r["step"] for r in recs if r["kind"] == "chunk")
     last2 = max(r["step"] for r in recs2 if r["kind"] == "chunk")
     assert last2 > last1
+    # FAD logged on the final eval (distribution-level health metric)
+    finals = [r for r in recs2 if r["kind"] == "final_eval"]
+    assert finals and finals[-1]["fad"] is not None
+    assert finals[-1]["fad"] >= 0
