@@ -224,10 +224,11 @@ def main():
         s_px = cfg.image_gan.output_size
         # real frames come back off the DEVICE corpus (the host copy is
         # freed right after upload); sample() already scales to [-1, 1]
-        rid = jax.random.randint(kr, (max(n // T, 1),), 0, device_corpus.n)
+        rid = jax.random.randint(kr, ((n + T - 1) // T,), 0,
+                         device_corpus.n)
         real = np.asarray(device_corpus.sample(rid)
                           ).reshape(-1, s_px, s_px, 3)[:n]
-        z = jax.random.uniform(kf, (max(n // T, 1), cfg.z_input_size),
+        z = jax.random.uniform(kf, ((n + T - 1) // T, cfg.z_input_size),
                                minval=-1.0, maxval=1.0)
         fake = np.asarray(vid_train.sample_videos(ts, z, cfg)
                           ).reshape(-1, s_px, s_px, 3)[:n]

@@ -108,14 +108,10 @@ def main():
     se_sum = 0.0
     tr_f = tr_q = tot = 0
     feats_f, feats_q = [], []
-    feat_fn = None
-    try:
-        from gifgan_tpu.eval.fad import gaussian_fit, frechet_distance, \
-            h2_features
+    from gifgan_tpu.eval.fad import (frechet_distance, gaussian_fit,
+                                     h2_features)
 
-        feat_fn = jax.jit(h2_features, static_argnames="cfg")
-    except Exception:
-        pass
+    feat_fn = jax.jit(h2_features, static_argnames="cfg")
     for i in range(0, args.clips, args.batch):
         z = jax.random.uniform(jax.random.fold_in(jax.random.PRNGKey(7), i),
                                (args.batch, cfg.z_input_size),
@@ -134,26 +130,23 @@ def main():
                     tr_f += t[0]
                 else:
                     tr_q += t[0]
-        if feat_fn is not None:
-            # distributional parity under the checkpoint's OWN image-D
-            # embedding (eval/fad.py): frames in [-1, 1]
-            for clips, dst in ((vf, feats_f), (vq, feats_q)):
-                fr = jnp.asarray(clips.reshape(-1, *clips.shape[2:]),
-                                 jnp.float32) / 127.5 - 1.0
-                dst.append(np.asarray(feat_fn(
-                    ts.params.img_discriminator, ts.state.img_discriminator,
-                    fr, cfg.image_gan)))
+        # distributional parity under the checkpoint's OWN image-D
+        # embedding (eval/fad.py): frames in [-1, 1]
+        for clips, dst in ((vf, feats_f), (vq, feats_q)):
+            fr = jnp.asarray(clips.reshape(-1, *clips.shape[2:]),
+                             jnp.float32) / 127.5 - 1.0
+            dst.append(np.asarray(feat_fn(
+                ts.params.img_discriminator, ts.state.img_discriminator,
+                fr, cfg.image_gan)))
         tot += take
         print(f"  {i + take}/{args.clips} clips", flush=True)
 
     mae = mae_sum / n_px
     mse = se_sum / n_px
     psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
-    fad_fq = None
-    if feat_fn is not None:
-        mu_f, cov_f = gaussian_fit(np.concatenate(feats_f))
-        mu_q, cov_q = gaussian_fit(np.concatenate(feats_q))
-        fad_fq = round(float(frechet_distance(mu_f, cov_f, mu_q, cov_q)), 6)
+    mu_f, cov_f = gaussian_fit(np.concatenate(feats_f))
+    mu_q, cov_q = gaussian_fit(np.concatenate(feats_q))
+    fad_fq = round(float(frechet_distance(mu_f, cov_f, mu_q, cov_q)), 6)
     out = {
         "fad_float_vs_int8": fad_fq,
         "clips": tot,

@@ -110,7 +110,12 @@ def _stills_u8(args, cfg) -> np.ndarray:
         if f.lower().endswith((".png", ".jpg", ".jpeg")))
     imgs = []
     for f in files:
-        im = np.asarray(imageio.imread(f))[..., :cfg.c_dim]
+        im = np.asarray(imageio.imread(f))
+        if im.ndim == 2:                       # grayscale -> channel dim
+            im = im[..., None]
+        if im.shape[-1] < cfg.c_dim:           # gray -> repeated channels
+            im = np.repeat(im, cfg.c_dim, axis=-1)
+        im = im[..., :cfg.c_dim]               # drop alpha / extra channels
         if im.shape[:2] != (cfg.output_size,) * 2:
             im = np.asarray(jax.image.resize(
                 jnp.asarray(im, jnp.float32),
@@ -264,29 +269,22 @@ def cmd_train_recurrent(args):
 def _load_vid_sampler(args):
     """(cfg, sample_fn) from a VID_DCGAN run dir — or, with --quantized,
     from a quantize-export int8 artifact (no float state loaded)."""
-    import jax
-
-    from gifgan_tpu.core import checkpoint as ckpt
-    from gifgan_tpu.core.config import load_config
     from gifgan_tpu.train import vid as vid_train
 
     if getattr(args, "quantized", False):
+        if getattr(args, "int8", False) or getattr(args, "int8_calib", 0):
+            raise SystemExit(
+                "--quantized loads a pre-quantized artifact; --int8/"
+                "--int8-calib apply when quantizing from a float run — "
+                "re-export with `quantize-export --calib-batches N` to "
+                "change calibration")
         from gifgan_tpu.ops import quant
 
         q, cfg = quant.load_artifact(args.checkpoint)
         tree, base_fn = q, vid_train.sample_videos_q
         return _finish_vid_sampler(args, cfg, tree, base_fn)
 
-    params = load_config(os.path.join(args.checkpoint, os.pardir,
-                                      "params.json")) \
-        if os.path.exists(os.path.join(args.checkpoint, os.pardir,
-                                       "params.json")) else None
-    cfg = params["model"] if params else None
-    assert cfg is not None, "run dir must contain params.json"
-    tcfg = params["train"]
-    ts = vid_train.init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
-    ts = vid_train.VidTrainState(**ckpt.restore(args.checkpoint,
-                                                ts._asdict()))
+    cfg, ts = _load_vid_train_state(args.checkpoint)
 
     if getattr(args, "int8", False):
         tree, base_fn = vid_train.quantize_sampler(
@@ -294,6 +292,25 @@ def _load_vid_sampler(args):
     else:
         tree, base_fn = ts, vid_train.sample_videos
     return _finish_vid_sampler(args, cfg, tree, base_fn)
+
+
+def _load_vid_train_state(checkpoint_dir):
+    """(cfg, VidTrainState) from a train-vid run's checkpoints dir."""
+    import jax
+
+    from gifgan_tpu.core import checkpoint as ckpt
+    from gifgan_tpu.core.config import load_config
+    from gifgan_tpu.train import vid as vid_train
+
+    params_path = os.path.join(checkpoint_dir, os.pardir, "params.json")
+    if not os.path.exists(params_path):
+        raise SystemExit(f"run dir must contain params.json ({params_path})")
+    doc = load_config(params_path)
+    cfg, tcfg = doc["model"], doc["train"]
+    ts = vid_train.init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    ts = vid_train.VidTrainState(**ckpt.restore(checkpoint_dir,
+                                                ts._asdict()))
+    return cfg, ts
 
 
 def _finish_vid_sampler(args, cfg, tree, base_fn):
@@ -334,24 +351,15 @@ def cmd_quantize_export(args):
     """Export an int8 serving artifact from a trained VID_DCGAN run (the
     quantized tree is ~4x smaller than the float params and serving hosts
     never touch the train state; load with sample-wall --quantized)."""
-    import jax
-
-    from gifgan_tpu.core import checkpoint as ckpt
-    from gifgan_tpu.core.config import load_config
     from gifgan_tpu.ops import quant
     from gifgan_tpu.train import vid as vid_train
 
-    params = load_config(os.path.join(args.checkpoint, os.pardir,
-                                      "params.json"))
-    cfg, tcfg = params["model"], params["train"]
-    ts = vid_train.init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
-    ts = vid_train.VidTrainState(**ckpt.restore(args.checkpoint,
-                                                ts._asdict()))
+    cfg, ts = _load_vid_train_state(args.checkpoint)
     q, _ = vid_train.quantize_sampler(ts, cfg,
                                       calib_batches=args.calib_batches)
     path = quant.save_artifact(args.out_dir, q, cfg)
-    n_bytes = sum(os.path.getsize(os.path.join(path, f))
-                  for f in os.listdir(path))
+    n_bytes = sum(os.path.getsize(os.path.join(root, f))
+                  for root, _, fs in os.walk(args.out_dir) for f in fs)
     print(f"int8 artifact written to {path} ({n_bytes / 1e6:.1f} MB, "
           f"calib_batches={args.calib_batches})")
 

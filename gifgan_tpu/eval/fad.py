@@ -63,7 +63,9 @@ def frechet_distance(mu1: np.ndarray, cov1: np.ndarray,
     m = s1 @ cov2 @ s1                                    # symmetric PSD
     wm = np.clip(np.linalg.eigvalsh(m), 0, None)
     tr_sqrt = float(np.sum(np.sqrt(wm)))                  # tr((c1 c2)^(1/2))
-    return d2 + float(np.trace(cov1) + np.trace(cov2)) - 2.0 * tr_sqrt
+    # clamp: identical distributions can land at ~-1e-12 in floats
+    return max(0.0, d2 + float(np.trace(cov1) + np.trace(cov2))
+               - 2.0 * tr_sqrt)
 
 
 def fad(params: Dict, state: Dict, real: np.ndarray, fake: np.ndarray,

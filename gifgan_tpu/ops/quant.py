@@ -319,6 +319,17 @@ def _with_scales(q: Dict, obs: Dict, margin: float) -> Dict:
     return out
 
 
+def _fold_maxima(maxima: Dict, observed: Dict) -> None:
+    """Merge one batch's observed max|x| tree (possibly nested one level)
+    into the running host-side maxima."""
+    for k, v in observed.items():
+        if isinstance(v, dict):
+            _fold_maxima(maxima.setdefault(k, {}), v)
+        else:
+            prev = maxima.get(k, 0.0)
+            maxima[k] = max(prev, float(v))
+
+
 def calibrate_vid_stack(q: Dict, z_batches, cfg: VidGANConfig,
                         margin: float = 1.05) -> Dict:
     """Static activation calibration for the full serving stack: run the
@@ -329,21 +340,39 @@ def calibrate_vid_stack(q: Dict, z_batches, cfg: VidGANConfig,
     extra HBM pass over every activation) and its graph no longer depends on
     the data. Inputs beyond the calibrated range CLIP — standard PTQ
     behavior; margin trades clipping risk against resolution. Returns a new
-    q tree; the input is unmodified."""
-    obs = {}
+    q tree; the input is unmodified.
+
+    The observer is jitted (the obs dict of tracers is just another pytree
+    output), so each calibration batch is ONE dispatch — per-op eager
+    execution through the device relay costs as much as the math."""
+
+    @jax.jit
+    def observe(qq, z):
+        obs: Dict = {}
+        generate_videos_q(qq, z, cfg, obs=obs)
+        return obs
+
+    maxima: Dict = {}
     for z in z_batches:
-        generate_videos_q(q, jnp.asarray(z), cfg, obs=obs)
-    return {"vid": _with_scales(q["vid"], obs.get("vid", {}), margin),
-            "img": _with_scales(q["img"], obs.get("img", {}), margin)}
+        _fold_maxima(maxima, jax.device_get(observe(q, jnp.asarray(z))))
+    return {"vid": _with_scales(q["vid"], maxima.get("vid", {}), margin),
+            "img": _with_scales(q["img"], maxima.get("img", {}), margin)}
 
 
 def calibrate_image_generator(q: Dict, z_batches, cfg: DCGANConfig,
                               margin: float = 1.05) -> Dict:
     """calibrate_vid_stack for a standalone image generator tree."""
-    obs = {}
+
+    @jax.jit
+    def observe(qq, z):
+        obs: Dict = {}
+        image_generator_q(qq, z, cfg, obs=obs)
+        return obs
+
+    maxima: Dict = {}
     for z in z_batches:
-        image_generator_q(q, jnp.asarray(z), cfg, obs=obs)
-    return _with_scales(q, obs, margin)
+        _fold_maxima(maxima, jax.device_get(observe(q, jnp.asarray(z))))
+    return _with_scales(q, maxima, margin)
 
 
 # ---------------------------------------------------------------------------
