@@ -143,11 +143,13 @@ def cmd_train_dcgan(args):
     if args.device_corpus:
         # corpus resident in HBM, batches gathered+scaled on device — the
         # host ships (K, B) int32 ids per chunk instead of pixels
-        # (data/device.py DeviceCorpus; single-device)
+        # (data/device.py DeviceCorpus; mesh-aware: sampled batches come
+        # back sharded over the mesh data axis)
         loops.train_dcgan(None, cfg, _train_cfg(args),
                           mesh=_mesh_arg(args),
                           steps_limit=args.steps_limit, chunk=args.chunk,
-                          stills_u8=_stills_u8(args, cfg))
+                          stills_u8=_stills_u8(args, cfg), fsdp=args.fsdp,
+                          fsdp_min_size=args.fsdp_min_size)
         return
     loops.train_dcgan(_stills_source(args, cfg), cfg, _train_cfg(args),
                       mesh=_mesh_arg(args), steps_limit=args.steps_limit,
@@ -188,7 +190,7 @@ def cmd_train_vid(args):
     if getattr(args, "device_corpus", False):
         # clip corpus resident in HBM; the host ships (K, B) int32 clip
         # ids per chunk — the endurance loop's data path, available to
-        # the standard training CLI (single-device)
+        # the standard training CLI (mesh-aware)
         if args.dataset != "synthetic" and args.stream:
             raise SystemExit("--device-corpus materializes the corpus in "
                              "HBM; it is incompatible with --stream")
@@ -196,7 +198,8 @@ def cmd_train_vid(args):
                               image_gan_ckpt=args.image_gan_checkpoint,
                               mesh=_mesh_arg(args),
                               steps_limit=args.steps_limit, chunk=args.chunk,
-                              clips_u8=_clips_u8())
+                              clips_u8=_clips_u8(), fsdp=args.fsdp,
+                              fsdp_min_size=args.fsdp_min_size)
         return
 
     if args.dataset != "synthetic" and args.stream:
@@ -911,7 +914,7 @@ def main(argv=None):
     p.add_argument("--device-corpus", action="store_true",
                    help="upload the uint8 corpus to HBM once and gather "
                         "batches on device (hosts behind slow links never "
-                        "touch pixels in the hot loop; single-device, "
+                        "touch pixels in the hot loop; mesh-aware, "
                         "requires --data-parallel 1)")
     _add_dcgan_args(p)
     _add_train_args(p)
@@ -941,7 +944,7 @@ def main(argv=None):
                    help="upload the uint8 clip corpus to HBM once and "
                         "gather+time-fold batches on device (host ships "
                         "only clip ids; slow/1-core hosts stop being the "
-                        "bottleneck; single-device, incompatible with "
+                        "bottleneck; mesh-aware, incompatible with "
                         "--stream)")
     p.add_argument("--train-img-gen", action="store_true")
     p.add_argument("--train-img-disc", action="store_true")

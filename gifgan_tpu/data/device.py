@@ -43,7 +43,7 @@ class DeviceCorpus:
     """
 
     def __init__(self, corpus_u8: np.ndarray, method: str = "matmul",
-                 interpret: bool | None = None):
+                 interpret: bool | None = None, mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -52,6 +52,7 @@ class DeviceCorpus:
         if method not in ("pallas", "matmul", "take"):
             raise ValueError(f"unknown method {method!r}")
         self.method = method
+        self.mesh = mesh
         self.item_shape = corpus_u8.shape[1:]
         self.n = corpus_u8.shape[0]
         d = int(np.prod(self.item_shape))
@@ -103,11 +104,44 @@ class DeviceCorpus:
                 g = g / 127.5 - 1.0
             return g.reshape(idx.shape + item_shape)
 
-        self._sample = jax.jit(_sample)
+        if mesh is not None:
+            # mesh-aware mode: the corpus is REPLICATED over the mesh and
+            # each sampled batch comes back sharded over the `data` axis
+            # along the LAST idx axis — (B,) ids -> batch axis 0, chunked
+            # (K, B) ids -> axis 1, matching make_sharded_step's
+            # batch_axis conventions. The host still ships only ids.
+            from gifgan_tpu.core.mesh import (DATA_AXIS,
+                                              replicated_sharding)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = replicated_sharding(mesh)
+            self._data = jax.device_put(self._data, rep)
+            self._sample_cache = {}
+
+            def sampler_for(ndim):
+                if ndim not in self._sample_cache:
+                    spec = [None] * (ndim + len(item_shape))
+                    spec[ndim - 1] = DATA_AXIS
+                    self._sample_cache[ndim] = jax.jit(
+                        _sample, in_shardings=(rep, rep),
+                        out_shardings=NamedSharding(mesh, P(*spec)))
+                return self._sample_cache[ndim]
+
+            self._sampler_for = sampler_for
+        else:
+            jitted = jax.jit(_sample)
+            self._sampler_for = lambda ndim: jitted
 
     def sample(self, idx):
         """idx: any-integer-shaped array of corpus ids -> float32 [-1, 1]
-        of shape idx.shape + item_shape."""
+        of shape idx.shape + item_shape. With a mesh, the result is sharded
+        over the mesh `data` axis along the last idx axis."""
         import jax.numpy as jnp
 
-        return self._sample(self._data, jnp.asarray(idx, jnp.int32))
+        idx = jnp.asarray(idx, jnp.int32)
+        if self.mesh is not None and idx.shape[-1] % \
+                self.mesh.shape["data"]:
+            raise ValueError(
+                f"the mesh data axis ({self.mesh.shape['data']}) must "
+                f"divide the id batch ({idx.shape[-1]})")
+        return self._sampler_for(idx.ndim)(self._data, idx)

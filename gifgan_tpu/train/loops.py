@@ -153,13 +153,11 @@ def train_dcgan(images_iter: Callable[[], Iterator[np.ndarray]],
 
     corpus = None
     if stills_u8 is not None:
-        if mesh is not None:
-            raise ValueError(
-                "stills_u8 device-corpus path is single-device; pass "
-                "mesh=None (shard the images_iter host path instead)")
         from gifgan_tpu.data.device import DeviceCorpus
 
-        corpus = DeviceCorpus(np.ascontiguousarray(stills_u8))
+        # mesh-aware: the corpus replicates over the mesh and sampled
+        # batches come back sharded over `data` (host still ships only ids)
+        corpus = DeviceCorpus(np.ascontiguousarray(stills_u8), mesh=mesh)
         if corpus.n < tcfg.batch_size:
             raise ValueError(f"stills_u8 has {corpus.n} items "
                              f"< batch_size {tcfg.batch_size}")
@@ -308,17 +306,16 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
 
     corpus = None
     if clips_u8 is not None:
-        if mesh is not None:
-            raise ValueError(
-                "clips_u8 device-corpus path is single-device; pass "
-                "mesh=None (shard the clips_iter host path instead)")
         if clips_u8.ndim != 5 or clips_u8.shape[1] != cfg.vid_length:
             raise ValueError(
                 f"clips_u8 must be (N, vid_length={cfg.vid_length}, s, s, c)"
                 f" uint8, got {clips_u8.shape}")
         from gifgan_tpu.data.device import DeviceCorpus
 
-        corpus = DeviceCorpus(np.ascontiguousarray(clips_u8))
+        # mesh-aware: corpus replicated over the mesh, sampled chunks come
+        # back sharded over `data` along the batch axis (ids-only feeding
+        # works on a pod exactly like on one chip)
+        corpus = DeviceCorpus(np.ascontiguousarray(clips_u8), mesh=mesh)
         if corpus.n < tcfg.batch_size:
             raise ValueError(f"clips_u8 has {corpus.n} clips "
                              f"< batch_size {tcfg.batch_size}")

@@ -375,3 +375,31 @@ def test_fsdp_vid_step_matches_single_device(key):
            if leaf.size >= min_size]
     assert all(leaf.addressable_shards[0].data.size == leaf.size // 8
                for leaf in big)
+
+
+def test_device_corpus_mesh_aware(key):
+    """DeviceCorpus(mesh=...): sampled batches come back sharded over the
+    mesh data axis along the last id axis, values bit-identical to the
+    meshless corpus; indivisible id batches are rejected."""
+    import pytest
+
+    from gifgan_tpu.data.device import DeviceCorpus
+
+    corpus_u8 = np.random.default_rng(0).integers(
+        0, 256, (32, 4, 8, 8, 3), np.uint8)
+    plain = DeviceCorpus(corpus_u8, method="take")
+    mesh = make_mesh(data_parallel=8)
+    meshed = DeviceCorpus(corpus_u8, method="take", mesh=mesh)
+
+    ids = np.random.default_rng(1).integers(0, 32, (3, 8), np.int64)
+    want = np.asarray(plain.sample(ids))
+    got = meshed.sample(ids)
+    assert got.sharding.spec[1] == DATA_AXIS, got.sharding.spec
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+    flat = meshed.sample(ids[0])            # (B,) ids -> batch axis 0
+    assert flat.sharding.spec[0] == DATA_AXIS
+    np.testing.assert_array_equal(np.asarray(flat), want[0])
+
+    with pytest.raises(ValueError, match="divide"):
+        meshed.sample(ids[:, :3])

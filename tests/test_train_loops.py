@@ -352,18 +352,27 @@ def test_train_vid_dcgan_clips_u8_rejects_bad_shapes(tmp_path):
                               clips_u8=synthetic_clips(4, length=4, size=32))
 
 
-def test_train_dcgan_stills_u8_rejects_mesh_and_small_corpus(tmp_path):
+def test_train_dcgan_stills_u8_rejects_small_corpus_and_runs_on_mesh(
+        tmp_path):
+    """The corpus smaller than a batch is still rejected; a mesh is now
+    SUPPORTED (DeviceCorpus mesh-aware mode: corpus replicated, sampled
+    batches sharded over `data`)."""
     import jax
     from gifgan_tpu.core.mesh import make_mesh
 
     data_u8 = synthetic_stills(8, size=32)
     tcfg = TrainConfig(batch_size=16, epochs=1, sample_every=0,
                        checkpoint_every=0, run_dir=str(tmp_path / "r"))
-    mesh = make_mesh(jax.devices("cpu")[:2], data_parallel=2)
-    with pytest.raises(ValueError, match="single-device"):
-        loops.train_dcgan(None, IMG, tcfg, mesh=mesh, stills_u8=data_u8)
     with pytest.raises(ValueError, match="batch_size"):
         loops.train_dcgan(None, IMG, tcfg, stills_u8=data_u8)
+
+    mesh = make_mesh(jax.devices("cpu")[:2], data_parallel=2)
+    tcfg2 = TrainConfig(batch_size=8, epochs=1, sample_every=0,
+                        checkpoint_every=0, run_dir=str(tmp_path / "m"))
+    ts = loops.train_dcgan(None, IMG, tcfg2, mesh=mesh,
+                           stills_u8=synthetic_stills(16, size=32),
+                           steps_limit=2)
+    assert int(ts.step) == 2
 
 
 def test_train_vid_fsdp_cli(tmp_path):
@@ -384,4 +393,25 @@ def test_train_vid_fsdp_cli(tmp_path):
 
     from gifgan_tpu.core import checkpoint as ckpt
 
+    assert ckpt.latest_step(os.path.join(run_dir, "checkpoints")) == 2
+
+
+def test_train_vid_device_corpus_on_mesh(tmp_path):
+    """train-vid --device-corpus --data-parallel 8: the HBM-resident ids-only
+    data path now composes with the mesh (corpus replicated, sampled chunks
+    sharded over `data`); runs end-to-end through the CLI with chunking."""
+    import os
+
+    from gifgan_tpu import cli
+    from gifgan_tpu.core import checkpoint as ckpt
+
+    run_dir = str(tmp_path / "vid_dc_mesh")
+    cli.main(["train-vid", "--run-dir", run_dir, "--c-dim", "3",
+              "--vid-z-dim", "16", "--vid-length", "4",
+              "--output-size", "32", "--z-dim", "12", "--gf-dim", "8",
+              "--df-dim", "8", "--batch-size", "8", "--epochs", "1",
+              "--sample-every", "0", "--checkpoint-every", "2",
+              "--steps-limit", "2", "--data-parallel", "8",
+              "--device-corpus", "--chunk", "2",
+              "--dataset", "synthetic", "--dataset-size", "16"])
     assert ckpt.latest_step(os.path.join(run_dir, "checkpoints")) == 2
