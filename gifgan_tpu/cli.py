@@ -260,6 +260,14 @@ def cmd_train_recurrent(args):
                        if f.endswith((".mp4", ".avi")))
         clips = decode_clip_batch(files, cfg.seq_length + 1,
                                   cfg.image_size, strict=False)
+
+    if getattr(args, "device_corpus", False):
+        # corpus resident in HBM ([0,1] scale on device); host ships
+        # (B,) int32 ids per step (data/device.py DeviceCorpus)
+        loops.train_recurrent(
+            None, cfg, _train_cfg(args), resume=not args.no_resume,
+            steps_limit=args.steps_limit, clips_u8=clips)
+        return
     clips = clips.astype(np.float32) / 255.0
 
     loops.train_recurrent(
@@ -969,6 +977,10 @@ def main(argv=None):
     p.add_argument("--adversarial-after-steps", type=int, default=0,
                    help="pixel-only G warm-up until this step (deviation)")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--device-corpus", action="store_true",
+                   help="keep the uint8 clip corpus resident in HBM and "
+                        "gather+scale batches on device (host ships only "
+                        "clip ids)")
     p.set_defaults(fn=cmd_train_recurrent)
 
     p = sub.add_parser("sample-wall", help="continuous GIF sampler")

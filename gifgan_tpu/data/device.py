@@ -43,7 +43,8 @@ class DeviceCorpus:
     """
 
     def __init__(self, corpus_u8: np.ndarray, method: str = "matmul",
-                 interpret: bool | None = None, mesh=None):
+                 interpret: bool | None = None, mesh=None,
+                 out_range: str = "tanh"):
         import jax
         import jax.numpy as jnp
 
@@ -51,8 +52,16 @@ class DeviceCorpus:
             raise ValueError(f"corpus must be uint8, got {corpus_u8.dtype}")
         if method not in ("pallas", "matmul", "take"):
             raise ValueError(f"unknown method {method!r}")
+        if out_range not in ("tanh", "unit"):
+            raise ValueError(f"out_range must be 'tanh' ([-1,1]) or "
+                             f"'unit' ([0,1]), got {out_range!r}")
+        if out_range == "unit" and method == "pallas":
+            raise ValueError("the pallas gather kernel bakes the [-1,1] "
+                             "scale; use method='matmul' or 'take' for "
+                             "out_range='unit'")
         self.method = method
         self.mesh = mesh
+        self.out_range = out_range
         self.item_shape = corpus_u8.shape[1:]
         self.n = corpus_u8.shape[0]
         d = int(np.prod(self.item_shape))
@@ -89,19 +98,23 @@ class DeviceCorpus:
 
         gather = getattr(self, "_gather", None)
 
+        unit = out_range == "unit"
+
+        def _scale(g):
+            return g / 255.0 if unit else g / 127.5 - 1.0
+
         def _sample(data, idx):
             flat = idx.reshape(-1)
             if method == "pallas":
-                g = gather(data, flat)  # kernel widens AND scales
+                g = gather(data, flat)  # kernel widens AND scales ([-1,1])
             elif method == "matmul":
                 oh = jax.nn.one_hot(flat, n, dtype=jnp.bfloat16)
                 # f32 out of the contraction: no (M, D) bf16 intermediate
-                g = jax.lax.dot(oh, data,
-                                preferred_element_type=jnp.float32)
-                g = g / 127.5 - 1.0
+                g = _scale(jax.lax.dot(oh, data,
+                                       preferred_element_type=jnp.float32))
             else:
-                g = jnp.take(data, flat, axis=0).astype(jnp.float32)
-                g = g / 127.5 - 1.0
+                g = _scale(jnp.take(data, flat, axis=0
+                                    ).astype(jnp.float32))
             return g.reshape(idx.shape + item_shape)
 
         if mesh is not None:

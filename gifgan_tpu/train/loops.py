@@ -436,9 +436,15 @@ def _write_video_grid(videos: np.ndarray, cols: int, path: str,
 def train_recurrent(clips_iter: Callable[[], Iterator[np.ndarray]],
                     cfg: RecurrentImageConfig, tcfg: TrainConfig,
                     resume: bool = True, allow_overwrite: bool = False,
-                    steps_limit: Optional[int] = None):
+                    steps_limit: Optional[int] = None,
+                    clips_u8: Optional[np.ndarray] = None):
     """clips_iter yields (B, T+1, s, s, c) float [0,1] batches. Refuses to
-    reuse an existing checkpoint dir unless resuming (recurrent_DCGAN.py:130-134)."""
+    reuse an existing checkpoint dir unless resuming (recurrent_DCGAN.py:130-134).
+
+    clips_u8: device-resident fast path — an (N, T+1, s, s, c) uint8 corpus
+    kept in HBM (data/device.py DeviceCorpus, out_range='unit' since this
+    family trains on [0,1] frames); the host ships (B,) int32 ids per step.
+    clips_iter is ignored."""
     from gifgan_tpu.train import recurrent as rtrain
 
     run_dir = tcfg.run_dir
@@ -459,15 +465,38 @@ def train_recurrent(clips_iter: Callable[[], Iterator[np.ndarray]],
         print(f"resumed from step {int(ts.step)}")
         rngs = _resume_rngs(tcfg.seed, int(ts.step))
 
+    corpus = None
+    if clips_u8 is not None:
+        if clips_u8.ndim != 5 or clips_u8.shape[1] != cfg.seq_length + 1:
+            raise ValueError(
+                f"clips_u8 must be (N, seq_length+1={cfg.seq_length + 1}, "
+                f"s, s, c) uint8, got {clips_u8.shape}")
+        from gifgan_tpu.data.device import DeviceCorpus
+
+        corpus = DeviceCorpus(np.ascontiguousarray(clips_u8),
+                              out_range="unit")
+        if corpus.n < tcfg.batch_size:
+            raise ValueError(f"clips_u8 has {corpus.n} clips "
+                             f"< batch_size {tcfg.batch_size}")
+
+    def _corpus_id_batches(epoch_seed: int) -> Iterator[np.ndarray]:
+        perm = np.random.default_rng(epoch_seed).permutation(corpus.n)
+        for i in range(corpus.n // tcfg.batch_size):
+            yield perm[i * tcfg.batch_size:(i + 1) * tcfg.batch_size]
+
     log = MetricsLogger(run_dir)
     saver = ckpt.AsyncCheckpointer()
     step = int(jax.device_get(ts.step))
     start_step = step
     for epoch in range(tcfg.epochs):
-        for clips in PrefetchLoader(
-                _epoch_iter(clips_iter, tcfg.seed + start_step + epoch)):
+        epoch_seed = tcfg.seed + start_step + epoch
+        batches = (_corpus_id_batches(epoch_seed) if corpus is not None
+                   else PrefetchLoader(_epoch_iter(clips_iter, epoch_seed)))
+        for clips in batches:
             import jax.numpy as jnp
 
+            if corpus is not None:  # (B,) ids -> (B, T+1, s, s, c) [0,1]
+                clips = corpus.sample(np.asarray(clips))
             ts, metrics = rtrain.train_step(ts, jnp.asarray(clips),
                                             rngs.next(), cfg, tcfg)
             step += 1

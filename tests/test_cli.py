@@ -99,6 +99,13 @@ def test_cli_train_recurrent(tmp_path):
          + SMALL_MODEL + SMALL_TRAIN)
     assert os.path.isdir(os.path.join(run_dir, "checkpoints"))
 
+    # HBM-resident corpus path: host ships only clip ids per step
+    run_dc = str(tmp_path / "rec_dc")
+    _run(["train-recurrent", "--run-dir", run_dc, "--c-dim", "3",
+          "--vid-length", "4", "--lstm-units", "16", "--device-corpus"]
+         + SMALL_MODEL + SMALL_TRAIN)
+    assert os.path.isdir(os.path.join(run_dc, "checkpoints"))
+
 
 def test_cli_sample_frames_and_stats(tmp_path, capsys):
     pytest.importorskip("cv2")

@@ -293,3 +293,28 @@ def test_device_corpus_rejects_bad_input():
         DeviceCorpus(np.zeros((4, 2, 2), np.float32))
     with pytest.raises(ValueError):
         DeviceCorpus(np.zeros((4, 2, 2), np.uint8), method="scatter")
+
+
+def test_device_corpus_unit_range():
+    """out_range='unit' returns [0,1] frames bit-matching the host scale —
+    the recurrent family's convention (frames in [0,1], not [-1,1])."""
+    import pytest
+
+    from gifgan_tpu.data.device import DeviceCorpus
+
+    corpus_u8 = np.random.default_rng(0).integers(
+        0, 256, (8, 3, 4, 4, 1), np.uint8)
+    dc = DeviceCorpus(corpus_u8, method="take", out_range="unit")
+    ids = np.array([5, 0, 7])
+    got = np.asarray(dc.sample(ids))
+    np.testing.assert_allclose(
+        got, corpus_u8[ids].astype(np.float32) / 255.0, rtol=0, atol=1e-7)
+    assert got.min() >= 0.0 and got.max() <= 1.0
+
+    dm = DeviceCorpus(corpus_u8, method="matmul", out_range="unit")
+    np.testing.assert_allclose(np.asarray(dm.sample(ids)), got,
+                               rtol=0, atol=1e-6)
+
+    with pytest.raises(ValueError, match="pallas"):
+        DeviceCorpus(corpus_u8.reshape(8, -1), method="pallas",
+                     out_range="unit")
