@@ -10,9 +10,11 @@ face-track-rate quality proxy at a fixed cadence, checkpointing for exact
 resume (params + opt slots + BN state), and surviving kill -9 mid-run.
 
 Design for the 1-core host + ~35 MB/s relay:
-  - the synthetic corpus is generated once, uploaded once (uint8), and every
-    chunk's (K, B*T, s, s, 3) frame stack is gathered + scaled ON DEVICE
-    (a jitted prep program) — the host never touches frame data in the loop
+  - the synthetic corpus is generated once, uploaded once (uint8), and each
+    step's (B*T, s, s, 3) frame batch is gathered + scaled ON DEVICE inside
+    the train_chunk scan body (vid.train_chunk_ids — 50 MB peak frame
+    memory instead of a 4 GB whole-chunk stack) — the host never touches
+    frame data in the loop, it ships (K, B) int32 ids per chunk
   - eval/checkpoint cadences are in chunks (1 chunk = K optimizer steps)
 
 Usage:
@@ -173,12 +175,6 @@ def main():
     device_corpus = DeviceCorpus(corpus, method=args.corpus_sampler)
     del corpus
 
-    fold_time = jax.jit(lambda g: g.reshape(K, B * T, 64, 64, 3))
-
-    def prep(idx):
-        """(K, B) clip ids -> (K, B*T, s, s, 3) f32 in [-1, 1], gathered
-        + scaled + time-folded on device."""
-        return fold_time(device_corpus.sample(idx))
 
     from gifgan_tpu.track.detect import find_default_cascade
 
@@ -260,12 +256,16 @@ def main():
             if args.max_chunks and c - start_chunk >= args.max_chunks:
                 break
             t0 = time.perf_counter()
-            frames = prep(chunk_idx(c))
             z = jax.random.uniform(jax.random.PRNGKey(50_000 + c),
                                    (K, B, cfg.z_input_size),
                                    minval=-1.0, maxval=1.0)
-            ts, m = vid_train.train_chunk(ts, frames, z,
-                                          jax.random.PRNGKey(c), cfg, tcfg)
+            # frames gather + scale happens INSIDE the scan body, one
+            # step's batch at a time (50 MB peak instead of the 4 GB
+            # whole-chunk stack — see train_chunk_ids)
+            ts, m = vid_train.train_chunk_ids(
+                ts, chunk_idx(c), z, jax.random.PRNGKey(c),
+                device_corpus.data, cfg, tcfg,
+                sample_fn=device_corpus.sample_fn)
             d_loss = float(np.asarray(m["d_loss"][-1]))  # sync point
             dt = time.perf_counter() - t0
             c += 1

@@ -7,17 +7,20 @@ the hot loop (examples/endurance_run.py design). The naive formulation,
 ~1.6 GB/s on a v5e through row-gathers. The MXU formulation — one-hot(idx)
 @ corpus as a matmul — is the same trick as the gather-free LK kernel
 (kernels/flow.py) and the device-Haar mask fetch: exact for uint8 pixel
-values (bf16 has an 8-bit mantissa; the one-hot matmul accumulates in f32)
-and runs at matmul speed instead of gather speed.
+values (stored as int8 (v - 128); the one-hot contraction runs on the
+MXU's int8 path with int32 accumulation) and runs at matmul speed instead
+of gather speed.
 
 Measured at the flagship endurance chunk shape (1024-clip corpus of
 (16, 64, 64, 3) uint8, idx (80, 64) -> a 4 GB f32 chunk), one v5e:
-take 3.68 s/chunk steady vs matmul 48 ms/chunk — 76x. The matmul path
-also uploads uint8 and widens on device (192 MB over the ~35 MB/s relay
-instead of 384 MB of host-converted bf16).
+take 3.68 s/chunk steady vs matmul 48 ms/chunk — 76x (measured on the
+earlier bf16 formulation; the int8 path uses the same MXU at 2x int8
+peak and 1 byte/px resident instead of 2 — at a 4096-clip flagship
+corpus that is 3.2 GB vs 6.4 GB, the difference between fitting next to
+the 4 GB chunk buffer and a RESOURCE_EXHAUSTED).
 
-The matmul is still ~8x off copy speed-of-light (it pays M x N x D matmul
-FLOPs for a semantic copy, and widens the resident corpus to bf16):
+The matmul is still well off copy speed-of-light (it pays M x N x D
+matmul FLOPs for a semantic copy):
 method="pallas" (kernels/gather.py) does the gather as scattered
 scalar-prefetch DMAs at HBM bandwidth over the uint8 corpus itself.
 """
@@ -36,8 +39,9 @@ class DeviceCorpus:
     item, gathered + scaled in one jitted program. `method`:
       * "pallas": scalar-prefetch DMA gather at HBM copy speed over the
         resident uint8 corpus (kernels/gather.py)
-      * "matmul": one-hot @ corpus on the MXU (default — ~76x the XLA
-        gather at flagship chunk sizes; resident corpus widened to bf16)
+      * "matmul": one-hot @ corpus on the MXU's int8 path (default —
+        ~76x the XLA gather at flagship chunk sizes; resident corpus
+        stored as int8 (v - 128), 1 byte/px, integer-exact)
       * "take":   jnp.take row gather (reference formulation; exact same
         results, kept for parity tests and tiny corpora)
     """
@@ -81,15 +85,19 @@ class DeviceCorpus:
             self._gather = lambda data, idx: gather_rows_scaled(
                 data, idx, interpret=interpret)[:, :d]
         elif method == "matmul":
-            # (N, D) bf16 resident copy, 2 bytes/px. Upload the uint8
-            # bytes (the relay moves ~35 MB/s — ship the smallest form)
-            # and convert ON DEVICE. Integers 0..255 are exact in bf16
-            # (8-bit mantissa) and the one-hot contraction emits f32
-            # straight from the MXU, so values match "take" bit-for-bit
-            # after the [-1, 1] scale.
+            # (N, D) int8 resident copy, 1 byte/px: pixels stored as
+            # (v - 128) ∈ [-128, 127] and contracted on the MXU's int8
+            # path with int32 accumulation — integer-exact, and half the
+            # HBM of the earlier bf16 formulation (which at a 4096-clip
+            # flagship corpus cost 6.4 GB resident and OOM'd the chip
+            # next to the 4 GB chunk buffer). Upload the uint8 bytes
+            # (the relay moves ~35 MB/s — ship the smallest form) and
+            # re-bias ON DEVICE; _sample adds the 128 back before the
+            # [-1, 1] scale, so values match "take" bit-for-bit.
             dev_u8 = jnp.asarray(corpus_u8.reshape(self.n, d))
             self._data = jax.jit(
-                lambda x: x.astype(jnp.int32).astype(jnp.bfloat16))(dev_u8)
+                lambda x: (x.astype(jnp.int32) - 128).astype(jnp.int8)
+            )(dev_u8)
             del dev_u8
         else:
             self._data = jnp.asarray(corpus_u8)
@@ -108,14 +116,23 @@ class DeviceCorpus:
             if method == "pallas":
                 g = gather(data, flat)  # kernel widens AND scales ([-1,1])
             elif method == "matmul":
-                oh = jax.nn.one_hot(flat, n, dtype=jnp.bfloat16)
-                # f32 out of the contraction: no (M, D) bf16 intermediate
-                g = _scale(jax.lax.dot(oh, data,
-                                       preferred_element_type=jnp.float32))
+                oh = jax.nn.one_hot(flat, n, dtype=jnp.int8)
+                # int32 straight out of the int8 MXU contraction (exact);
+                # un-bias the stored (v - 128) and scale in f32
+                acc = jax.lax.dot(oh, data,
+                                  preferred_element_type=jnp.int32)
+                g = _scale((acc + 128).astype(jnp.float32))
             else:
                 g = _scale(jnp.take(data, flat, axis=0
                                     ).astype(jnp.float32))
             return g.reshape(idx.shape + item_shape)
+
+        # pure (data, idx) -> scaled f32 sampler, exposed so callers can
+        # embed the gather INSIDE their own jitted program (e.g. a
+        # lax.scan train-chunk body: gathering per step keeps peak frame
+        # memory at one batch instead of a whole chunk — at the flagship
+        # endurance shape that is 50 MB resident instead of 4 GB)
+        self.sample_fn = _sample
 
         if mesh is not None:
             # mesh-aware mode: the corpus is REPLICATED over the mesh and
@@ -144,6 +161,13 @@ class DeviceCorpus:
         else:
             jitted = jax.jit(_sample)
             self._sampler_for = lambda ndim: jitted
+
+    @property
+    def data(self):
+        """The device-resident corpus array, for use with `sample_fn`
+        inside caller-jitted programs (replicated over the mesh when one
+        was given)."""
+        return self._data
 
     def sample(self, idx):
         """idx: any-integer-shaped array of corpus ids -> float32 [-1, 1]

@@ -249,3 +249,27 @@ def train_chunk(ts: TrainState, images_stack: Array, z_stack: Array, rng,
         return ts, metrics
 
     return jax.lax.scan(body, ts, (images_stack, z_stack, keys))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "tcfg", "sample_fn"),
+                   donate_argnums=(0,))
+def train_chunk_ids(ts: TrainState, ids_stack: Array, z_stack: Array, rng,
+                    corpus_data: Array, cfg: DCGANConfig, tcfg: TrainConfig,
+                    sample_fn) -> Tuple[TrainState, Dict]:
+    """train_chunk, but each step's images are gathered INSIDE the scan
+    body from a device-resident still corpus (data/device.py DeviceCorpus:
+    pass `corpus.data` and `corpus.sample_fn`). ids_stack: (K, B) int32.
+    Peak image memory is one (B, s, s, c) batch instead of the whole
+    (K, B, ...) stack — see train/vid.py train_chunk_ids for the flagship
+    numbers that motivated the layout."""
+    k = z_stack.shape[0]
+    keys = jax.random.split(rng, k)
+
+    def body(ts, xs):
+        idx, z, key = xs
+        images = sample_fn(corpus_data, idx)  # (B, s, s, c) f32
+        ts, metrics = train_step.__wrapped__(ts, images, z, key, cfg, tcfg)
+        return ts, metrics
+
+    return jax.lax.scan(body, ts, (ids_stack, z_stack, keys))

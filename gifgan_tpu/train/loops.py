@@ -16,6 +16,7 @@ import os
 from typing import Callable, Iterator, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from gifgan_tpu.core import checkpoint as ckpt
@@ -185,9 +186,18 @@ def train_dcgan(images_iter: Callable[[], Iterator[np.ndarray]],
         istack, zstack = np.stack(pending_images), np.stack(pending_z)
         pending_images.clear()
         pending_z.clear()
-        if corpus is not None:          # (k, B) ids -> (k, B, s, s, c) f32,
-            istack = corpus.sample(istack)  # gathered+scaled on device
-        ts, metrics = chunk_fn(ts, istack, zstack, rngs.next())
+        if corpus is not None and mesh is None:
+            # single device: per-step in-scan gather (gan.train_chunk_ids)
+            # — peak image memory is one (B, ...) batch, not the (k, B,
+            # ...) stack
+            ts, metrics = gan.train_chunk_ids(
+                ts, jnp.asarray(istack, jnp.int32), zstack, rngs.next(),
+                corpus.data, cfg, tcfg, sample_fn=corpus.sample_fn)
+        else:
+            if corpus is not None:
+                # mesh: sampled stack comes back sharded over `data`
+                istack = corpus.sample(istack)
+            ts, metrics = chunk_fn(ts, istack, zstack, rngs.next())
         step += k
         log.log(step, {key: v[-1] for key, v in metrics.items()})
 
@@ -357,9 +367,20 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
         fstack, zstack = np.stack(pending_frames), np.stack(pending_z)
         pending_frames.clear()
         pending_z.clear()
-        if corpus is not None:   # (k, B) clip ids -> (k, B*T, s, s, c) f32
-            fstack = _fold_time(corpus.sample(fstack))
-        ts, metrics = chunk_fn(ts, fstack, zstack, rngs.next())
+        if corpus is not None and mesh is None:
+            # single device: gather each step's frames INSIDE the scan
+            # body (vid.train_chunk_ids) — peak frame memory is one
+            # (B*T, ...) batch, not the whole (k, B*T, ...) chunk stack
+            ts, metrics = vid_train.train_chunk_ids(
+                ts, jnp.asarray(fstack, jnp.int32), zstack, rngs.next(),
+                corpus.data, cfg, tcfg, sample_fn=corpus.sample_fn)
+        else:
+            if corpus is not None:
+                # mesh: the sampled chunk comes back sharded over `data`
+                # (each device holds chunk/N), so whole-chunk gather is
+                # the memory-cheap layout-preserving path here
+                fstack = _fold_time(corpus.sample(fstack))
+            ts, metrics = chunk_fn(ts, fstack, zstack, rngs.next())
         step += k
         log.log(step, {key: v[-1] for key, v in metrics.items()})
 

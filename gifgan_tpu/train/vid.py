@@ -305,3 +305,35 @@ def train_chunk(ts: VidTrainState, frames_stack: Array, z_stack: Array, rng,
 
     ts, metrics = jax.lax.scan(body, ts, (frames_stack, z_stack, keys))
     return ts, metrics
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "tcfg", "sample_fn"),
+                   donate_argnums=(0,))
+def train_chunk_ids(ts: VidTrainState, ids_stack: Array, z_stack: Array,
+                    rng, corpus_data: Array, cfg: VidGANConfig,
+                    tcfg: TrainConfig, sample_fn,
+                    ) -> Tuple[VidTrainState, Dict]:
+    """train_chunk, but each step's frames are gathered INSIDE the scan
+    body from a device-resident corpus (data/device.py DeviceCorpus:
+    pass `corpus.data` and `corpus.sample_fn`).
+
+    ids_stack: (K, B) int32 clip ids. Peak frame memory is ONE step's
+    (B*T, s, s, c) batch instead of the whole chunk's (K, B*T, ...) — at
+    the flagship endurance shape (K=80, B=64, T=16, 64px) that is 50 MB
+    resident instead of 4 GB, which is the difference between the
+    endurance config fitting on one v5e next to the corpus and a
+    RESOURCE_EXHAUSTED. The host still ships only ids per chunk.
+    """
+    k = z_stack.shape[0]
+    keys = jax.random.split(rng, k)
+
+    def body(ts, xs):
+        idx, z, key = xs
+        g = sample_fn(corpus_data, idx)           # (B, T, s, s, c) f32
+        frames = g.reshape((-1,) + g.shape[2:])   # time folds into batch
+        ts, metrics = train_step.__wrapped__(ts, frames, z, key, cfg, tcfg)
+        return ts, metrics
+
+    ts, metrics = jax.lax.scan(body, ts, (ids_stack, z_stack, keys))
+    return ts, metrics

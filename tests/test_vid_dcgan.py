@@ -124,3 +124,38 @@ def test_train_chunk_runs_multiple_steps(key):
     assert int(ts.step) == K
     assert metrics["d_loss"].shape == (K,)
     assert np.isfinite(np.asarray(metrics["d_loss"])).all()
+
+
+def test_train_chunk_ids_matches_train_chunk(key):
+    """train_chunk_ids (per-step in-scan gather from a device-resident
+    corpus) follows the exact same trajectory as train_chunk fed the
+    pre-gathered (K, B*T, ...) frame stack: the gather is bit-exact
+    (DeviceCorpus matmul vs take parity) and the scan schedule is
+    identical, so final params and metrics must match to f32 tolerance."""
+    from gifgan_tpu.data.device import DeviceCorpus
+
+    tcfg = TrainConfig(batch_size=2, gen_updates=1)
+    # two independent (but identical) states: the chunk fns donate input
+    ts_a = vid_train.init_train_state(key, CFG, tcfg)
+    ts_b = vid_train.init_train_state(key, CFG, tcfg)
+    K, B, T = 3, 2, CFG.vid_length
+    rng = np.random.default_rng(0)
+    corpus_u8 = rng.integers(0, 256, (11, T, 32, 32, 1), np.uint8)
+    corpus = DeviceCorpus(corpus_u8)
+    ids = jnp.asarray(rng.integers(0, 11, (K, B)), jnp.int32)
+
+    frames = corpus.sample(ids).reshape(K, B * T, 32, 32, 1)
+    z = jax.random.uniform(key, (K, B, 16), minval=-1, maxval=1)
+    ts_a, m_a = vid_train.train_chunk(ts_a, frames, z, key, CFG, tcfg)
+    ts_b, m_b = vid_train.train_chunk_ids(ts_b, ids, z, key, corpus.data,
+                                          CFG, tcfg,
+                                          sample_fn=corpus.sample_fn)
+    assert int(ts_b.step) == K
+    np.testing.assert_allclose(np.asarray(m_a["d_loss"]),
+                               np.asarray(m_b["d_loss"]), rtol=1e-5,
+                               atol=1e-6)
+    a_leaves = jax.tree_util.tree_leaves(ts_a.params)
+    b_leaves = jax.tree_util.tree_leaves(ts_b.params)
+    for la, lb in zip(a_leaves, b_leaves):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-5, atol=1e-6)
