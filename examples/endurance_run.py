@@ -48,6 +48,12 @@ def parse_args():
     p.add_argument("--d-learning-rate", type=float, default=None,
                    help="TTUR: discriminator LR (default: shared 2e-4)")
     p.add_argument("--activation-noise", type=float, default=0.1)
+    p.add_argument("--auto-intervene", action="store_true",
+                   help="closed-loop collapse controller: watch per-chunk "
+                        "d_loss and drive the traced runtime knobs (noise "
+                        "stds, D-lr scale) when D saturates — the manual "
+                        "intervention that saved run 1, automated "
+                        "(train/controller.py); zero recompiles")
     p.add_argument("--img-gan-steps", type=int, default=2000)
     p.add_argument("--img-gan-batch", type=int, default=64)
     p.add_argument("--img-gan-dataset", type=int, default=4096)
@@ -236,6 +242,30 @@ def main():
         with open(log_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
+    controller = None
+    knobs = None
+    if args.auto_intervene:
+        from gifgan_tpu.train.controller import CollapseController
+
+        controller = CollapseController(args.image_noise,
+                                        args.activation_noise)
+        if resumed:
+            # knob values are policy state; recover the last levels the
+            # run was actually training at (counters restart conservatively
+            # — worst case the policy re-observes for `patience` chunks)
+            try:
+                with open(log_path) as f:
+                    for line in f:
+                        rec = json.loads(line)
+                        if rec.get("kind") == "auto_intervention":
+                            controller.image_noise = rec["image_noise_std"]
+                            controller.activation_noise = \
+                                rec["activation_noise_std"]
+                            controller.d_lr_scale = rec["d_lr_scale"]
+            except OSError:
+                pass
+        knobs = vid_train.make_knobs(cfg, **controller.knob_values())
+
     # deterministic-per-chunk sampling so a resume continues the same
     # nominal data stream
     def chunk_idx(c):
@@ -265,7 +295,7 @@ def main():
             ts, m = vid_train.train_chunk_ids(
                 ts, chunk_idx(c), z, jax.random.PRNGKey(c),
                 device_corpus.data, cfg, tcfg,
-                sample_fn=device_corpus.sample_fn)
+                sample_fn=device_corpus.sample_fn, knobs=knobs)
             d_loss = float(np.asarray(m["d_loss"][-1]))  # sync point
             dt = time.perf_counter() - t0
             c += 1
@@ -279,6 +309,20 @@ def main():
                       "d_loss_real"):
                 if k in m:
                     rec[k] = float(np.asarray(m[k][-1]))
+            if controller is not None:
+                rec.update(controller.knob_values())
+                event = controller.observe(d_loss)
+                if event is not None:
+                    # same compiled program — only the traced scalars move
+                    knobs = vid_train.make_knobs(cfg,
+                                                 **controller.knob_values())
+                    event.update({"kind": "auto_intervention", "chunk": c,
+                                  "step": c * K})
+                    log(event)
+                    print(f"[endurance] AUTO-INTERVENTION @chunk {c}: "
+                          f"{event['action']} -> noise="
+                          f"{controller.image_noise} "
+                          f"d_lr_scale={controller.d_lr_scale}", flush=True)
             log(rec)
             if c % 10 == 0:
                 print(f"[endurance] chunk {c} step {c * K} "

@@ -263,11 +263,21 @@ def lrelu(x: Array, leak: float = 0.2) -> Array:
     return jnp.maximum(x, leak * x)
 
 
-def add_noise(key: Optional[Array], x: Array, stddev: float) -> Array:
-    """Gaussian instance noise (ops.py:119-123). No-op when stddev == 0."""
-    if stddev == 0.0 or key is None:
+def add_noise(key: Optional[Array], x: Array, stddev) -> Array:
+    """Gaussian instance noise (ops.py:119-123). No-op when stddev == 0.
+
+    `stddev` may be a Python float (baked into the program — zero skips the
+    RNG entirely) or a traced scalar (train/vid.py Knobs: one compiled
+    program serves every noise level; zero then still draws + adds 0).
+    """
+    if key is None:
         return x
-    return x + stddev * jax.random.normal(key, x.shape, x.dtype)
+    if isinstance(stddev, (float, int)):
+        if stddev == 0.0:
+            return x
+        return x + stddev * jax.random.normal(key, x.shape, x.dtype)
+    return x + jnp.asarray(stddev, x.dtype) * jax.random.normal(
+        key, x.shape, x.dtype)
 
 
 def get_std(x: Array) -> Array:

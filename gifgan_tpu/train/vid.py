@@ -48,6 +48,32 @@ class VidTrainState(NamedTuple):
     step: Array
 
 
+class Knobs(NamedTuple):
+    """Runtime training knobs — TRACED scalars, so one compiled program
+    serves every value. The levers the endurance evidence showed matter
+    against D saturation (docs/ENDURANCE.md: the round-1 run needed a
+    manual noise raise 0.1 -> 0.5 to revive a saturated D; changing
+    cfg.*_noise_std instead recompiles the flagship program, ~6 min
+    through the remote-compile relay). Consumed by train_step/train_chunk
+    (knobs=None keeps the baked-from-cfg graph) and produced per-chunk by
+    train/controller.py's automated intervention policy.
+    """
+    image_noise_std: Array       # replaces cfg.image_noise_std
+    activation_noise_std: Array  # replaces cfg.activation_noise_std
+    d_lr_scale: Array            # multiplies the D update (Adam is
+    #                              lr-linear, so == scaling the D lr)
+
+
+def make_knobs(cfg: VidGANConfig, image_noise_std=None,
+               activation_noise_std=None, d_lr_scale=1.0) -> Knobs:
+    """Build a Knobs pytree of f32 scalars, defaulting to cfg's values."""
+    img = cfg.image_noise_std if image_noise_std is None else image_noise_std
+    act = (cfg.activation_noise_std if activation_noise_std is None
+           else activation_noise_std)
+    f = lambda v: jnp.asarray(v, jnp.float32)
+    return Knobs(f(img), f(act), f(d_lr_scale))
+
+
 def _g_trainable(params: VidGANParams, tcfg: TrainConfig) -> Dict:
     t = {"vid": params.vid_generator}
     if tcfg.train_img_gen:
@@ -74,38 +100,49 @@ def init_train_state(key, cfg: VidGANConfig, tcfg: TrainConfig) -> VidTrainState
     )
 
 
+def _noise_stds(cfg: VidGANConfig, knobs):
+    """Noise levels: baked Python floats from cfg (knobs=None — zero stds
+    compile to no-ops) or the traced Knobs scalars."""
+    if knobs is None:
+        return cfg.image_noise_std, cfg.activation_noise_std
+    return knobs.image_noise_std, knobs.activation_noise_std
+
+
 def _fake_activations(params: VidGANParams, state: VidGANState, z: Array,
-                      cfg: VidGANConfig, keys):
+                      cfg: VidGANConfig, keys, knobs=None):
     """vidG(train) -> imgG(inference) -> noise -> imgD(inference) h2 tap.
     Returns (noisy acts, g_out, vid G state, PRE-noise act std — the
     collapse diagnostic is measured before the injected noise,
     z_model_lib.py:85,90)."""
+    img_std, act_std = _noise_stds(cfg, knobs)
     g_out, vid_gs = vid_dcgan.vid_generator(
         params.vid_generator, state.vid_generator, z, cfg, train=True)
     frames, _ = dcgan.generator(
         params.img_generator, state.img_generator, g_out, cfg.image_gan,
         train=False)
-    noisy_frames = nn.add_noise(keys[0], frames, cfg.image_noise_std)
+    noisy_frames = nn.add_noise(keys[0], frames, img_std)
     _, acts, _ = dcgan.discriminator(
         params.img_discriminator, state.img_discriminator, noisy_frames,
         cfg.image_gan, train=False)
     pre_noise_std = nn.get_std(acts.reshape(acts.shape[0], -1))
-    acts = nn.add_noise(keys[1], acts, cfg.activation_noise_std)
+    acts = nn.add_noise(keys[1], acts, act_std)
     return acts, g_out, vid_gs, pre_noise_std
 
 
 def _real_activations(params: VidGANParams, state: VidGANState, frames: Array,
-                      cfg: VidGANConfig, keys):
-    noisy = nn.add_noise(keys[0], frames, cfg.image_noise_std)
+                      cfg: VidGANConfig, keys, knobs=None):
+    img_std, act_std = _noise_stds(cfg, knobs)
+    noisy = nn.add_noise(keys[0], frames, img_std)
     _, acts, _ = dcgan.discriminator(
         params.img_discriminator, state.img_discriminator, noisy,
         cfg.image_gan, train=False)
     pre_noise_std = nn.get_std(acts.reshape(acts.shape[0], -1))
-    return nn.add_noise(keys[1], acts, cfg.activation_noise_std), pre_noise_std
+    return nn.add_noise(keys[1], acts, act_std), pre_noise_std
 
 
 def _d_step(ts: VidTrainState, frames: Array, z: Array, rng,
-            cfg: VidGANConfig, tcfg: TrainConfig, opt) -> Tuple[VidTrainState, Dict]:
+            cfg: VidGANConfig, tcfg: TrainConfig, opt,
+            knobs=None) -> Tuple[VidTrainState, Dict]:
     keys = jax.random.split(rng, 4)
     frozen = ts.params
 
@@ -114,9 +151,9 @@ def _d_step(ts: VidTrainState, frames: Array, z: Array, rng,
         if "img" in trainable:
             params = params._replace(img_discriminator=trainable["img"])
         real_acts, real_std = _real_activations(params, ts.state, frames,
-                                                cfg, keys[:2])
+                                                cfg, keys[:2], knobs)
         fake_acts, _, _, fake_std = _fake_activations(params, ts.state, z,
-                                                      cfg, keys[2:])
+                                                      cfg, keys[2:], knobs)
         logits_real, ds1 = vid_dcgan.vid_discriminator(
             params.vid_discriminator, ts.state.vid_discriminator, real_acts,
             cfg, train=True)
@@ -131,6 +168,12 @@ def _d_step(ts: VidTrainState, frames: Array, z: Array, rng,
     (d_loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
     loss_real, loss_fake, vid_ds, real_std, fake_std = aux
     updates, opt_d = opt.update(grads, ts.opt_d, trainable)
+    if knobs is not None:
+        # Adam's update is lr-linear, so scaling the update IS scaling the
+        # D lr — the TTUR lever as a runtime knob (no recompile, slot
+        # state untouched so the scale can move freely mid-run).
+        updates = jax.tree_util.tree_map(
+            lambda u: u * knobs.d_lr_scale.astype(u.dtype), updates)
     new_trainable = optax.apply_updates(trainable, updates)
 
     params = ts.params._replace(vid_discriminator=new_trainable["vid"])
@@ -150,7 +193,7 @@ def _d_step(ts: VidTrainState, frames: Array, z: Array, rng,
 
 
 def _g_step(ts: VidTrainState, z: Array, rng, cfg: VidGANConfig,
-            tcfg: TrainConfig, opt) -> Tuple[VidTrainState, Dict]:
+            tcfg: TrainConfig, opt, knobs=None) -> Tuple[VidTrainState, Dict]:
     keys = jax.random.split(rng, 2)
     frozen = ts.params
 
@@ -159,7 +202,7 @@ def _g_step(ts: VidTrainState, z: Array, rng, cfg: VidGANConfig,
         if "img" in trainable:
             params = params._replace(img_generator=trainable["img"])
         fake_acts, g_out, vid_gs, _ = _fake_activations(
-            params, ts.state, z, cfg, keys)
+            params, ts.state, z, cfg, keys, knobs)
         logits_fake, _ = vid_dcgan.vid_discriminator(
             params.vid_discriminator, ts.state.vid_discriminator, fake_acts,
             cfg, train=True)
@@ -186,18 +229,21 @@ def _g_step(ts: VidTrainState, z: Array, rng, cfg: VidGANConfig,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tcfg"), donate_argnums=(0,))
 def train_step(ts: VidTrainState, frames: Array, z: Array, rng,
-               cfg: VidGANConfig, tcfg: TrainConfig,
+               cfg: VidGANConfig, tcfg: TrainConfig, knobs=None,
                ) -> Tuple[VidTrainState, Dict]:
     """One batch: `disc_updates` D + `gen_updates` G updates, one XLA program.
 
     `frames` is time-folded (B*T, s, s, c) — the layout the whole stack
     standardizes on so frames shard over the mesh data axis like batch.
+
+    knobs (optional, traced): runtime noise levels + D-lr scale — see
+    Knobs. None keeps the cfg-baked program.
     """
     opt_g, opt_d = make_optimizer(tcfg, "g"), make_optimizer(tcfg, "d")
     metrics = {"images_std": nn.get_std(frames.reshape(frames.shape[0], -1))}
     keys = jax.random.split(rng, tcfg.disc_updates + tcfg.gen_updates)
     for i in range(tcfg.disc_updates):
-        ts, m = _d_step(ts, frames, z, keys[i], cfg, tcfg, opt_d)
+        ts, m = _d_step(ts, frames, z, keys[i], cfg, tcfg, opt_d, knobs)
         metrics.update(m)
     # NOTE: the repeated G updates stay Python-unrolled on purpose. A
     # lax.scan over the G update compiles ~25% smaller/faster (8.7 vs
@@ -206,7 +252,7 @@ def train_step(ts: VidTrainState, frames: Array, z: Array, rng,
     # iterations. Runtime wins; bench.py hides the compile instead.
     for i in range(tcfg.gen_updates):
         ts, m = _g_step(ts, z, keys[tcfg.disc_updates + i], cfg, tcfg,
-                        opt_g)
+                        opt_g, knobs)
         metrics.update(m)
     ts = ts._replace(step=ts.step + 1)
     return ts, metrics
@@ -286,7 +332,7 @@ def sample_videos(ts: VidTrainState, z: Array, cfg: VidGANConfig) -> Array:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tcfg"), donate_argnums=(0,))
 def train_chunk(ts: VidTrainState, frames_stack: Array, z_stack: Array, rng,
-                cfg: VidGANConfig, tcfg: TrainConfig,
+                cfg: VidGANConfig, tcfg: TrainConfig, knobs=None,
                 ) -> Tuple[VidTrainState, Dict]:
     """K train steps as ONE XLA program via lax.scan.
 
@@ -294,13 +340,16 @@ def train_chunk(ts: VidTrainState, frames_stack: Array, z_stack: Array, rng,
     math at this model size (measured: 18.7 -> 37.2 steps/s on one v5e chip
     by chaining K=10 steps). frames_stack: (K, B*T, s, s, c);
     z_stack: (K, B, z_in). Returns metrics stacked over the chunk.
+    knobs: optional runtime Knobs, constant over the chunk (the collapse
+    controller acts between chunks).
     """
     k = z_stack.shape[0]
     keys = jax.random.split(rng, k)
 
     def body(ts, xs):
         frames, z, key = xs
-        ts, metrics = train_step.__wrapped__(ts, frames, z, key, cfg, tcfg)
+        ts, metrics = train_step.__wrapped__(ts, frames, z, key, cfg, tcfg,
+                                             knobs)
         return ts, metrics
 
     ts, metrics = jax.lax.scan(body, ts, (frames_stack, z_stack, keys))
@@ -312,7 +361,7 @@ def train_chunk(ts: VidTrainState, frames_stack: Array, z_stack: Array, rng,
                    donate_argnums=(0,))
 def train_chunk_ids(ts: VidTrainState, ids_stack: Array, z_stack: Array,
                     rng, corpus_data: Array, cfg: VidGANConfig,
-                    tcfg: TrainConfig, sample_fn,
+                    tcfg: TrainConfig, sample_fn, knobs=None,
                     ) -> Tuple[VidTrainState, Dict]:
     """train_chunk, but each step's frames are gathered INSIDE the scan
     body from a device-resident corpus (data/device.py DeviceCorpus:
@@ -332,7 +381,8 @@ def train_chunk_ids(ts: VidTrainState, ids_stack: Array, z_stack: Array,
         idx, z, key = xs
         g = sample_fn(corpus_data, idx)           # (B, T, s, s, c) f32
         frames = g.reshape((-1,) + g.shape[2:])   # time folds into batch
-        ts, metrics = train_step.__wrapped__(ts, frames, z, key, cfg, tcfg)
+        ts, metrics = train_step.__wrapped__(ts, frames, z, key, cfg, tcfg,
+                                             knobs)
         return ts, metrics
 
     ts, metrics = jax.lax.scan(body, ts, (ids_stack, z_stack, keys))

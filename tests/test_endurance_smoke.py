@@ -17,7 +17,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPT = os.path.join(REPO, "examples", "endurance_run.py")
 
 
-def _run(run_dir, max_chunks):
+def _run(run_dir, max_chunks, extra=()):
     # single-device CPU: drop conftest's 8-device virtual mesh (tiny smoke
     # batches aren't divisible by 8) and the image's axon platform pin
     env = {**os.environ, "JAX_PLATFORMS": "", "XLA_FLAGS": ""}
@@ -29,7 +29,7 @@ def _run(run_dir, max_chunks):
          "--img-gan-dataset", "8", "--dtype", "float32",
          "--platform", "cpu", "--ckpt-every-chunks", "1",
          "--eval-every-chunks", "1000", "--eval-clips", "2",
-         "--final-eval-clips", "2", "--fad-frames", "8"],
+         "--final-eval-clips", "2", "--fad-frames", "8", *extra],
         capture_output=True, text=True, env=env, timeout=540)
 
 
@@ -62,3 +62,39 @@ def test_endurance_run_smoke_and_resume(tmp_path):
     finals = [r for r in recs2 if r["kind"] == "final_eval"]
     assert finals and finals[-1]["fad"] is not None
     assert finals[-1]["fad"] >= 0
+
+
+def test_endurance_auto_intervene_knobs_and_resume(tmp_path):
+    """--auto-intervene plumbs the controller's traced knobs through
+    train_chunk_ids (chunk records carry the live knob values) and a resume
+    recovers the last intervention's levels from the run log."""
+    run_dir = str(tmp_path / "endurance_ai")
+
+    r1 = _run(run_dir, max_chunks=2, extra=("--auto-intervene",))
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    log_path = os.path.join(run_dir, "endurance.jsonl")
+    chunks = [json.loads(ln) for ln in open(log_path)]
+    chunks = [r for r in chunks if r["kind"] == "chunk"]
+    assert chunks
+    for r in chunks:  # knob values logged alongside the diagnostics
+        assert r["image_noise_std"] == 0.1
+        assert r["d_lr_scale"] == 1.0
+
+    # simulate a prior intervention, then resume: the controller must come
+    # back at the intervened levels, not the configured base
+    with open(log_path, "a") as f:
+        f.write(json.dumps({
+            "kind": "auto_intervention", "action": "raise_noise",
+            "chunk": 2, "step": 4, "d_loss": 0.01,
+            "image_noise_std": 0.3, "activation_noise_std": 0.3,
+            "d_lr_scale": 0.5}) + "\n")
+    r2 = _run(run_dir, max_chunks=1, extra=("--auto-intervene",))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "RESUMED" in r2.stdout
+    recs2 = [json.loads(ln) for ln in open(log_path)]
+    resumed_chunks = [r for r in recs2
+                      if r["kind"] == "chunk" and r["chunk"] > 2]
+    assert resumed_chunks
+    for r in resumed_chunks:
+        assert r["image_noise_std"] == 0.3
+        assert r["d_lr_scale"] == 0.5
