@@ -199,7 +199,8 @@ def cmd_train_vid(args):
                               mesh=_mesh_arg(args),
                               steps_limit=args.steps_limit, chunk=args.chunk,
                               clips_u8=_clips_u8(), fsdp=args.fsdp,
-                              fsdp_min_size=args.fsdp_min_size)
+                              fsdp_min_size=args.fsdp_min_size,
+                              auto_intervene=args.auto_intervene)
         return
 
     if args.dataset != "synthetic" and args.stream:
@@ -228,7 +229,8 @@ def cmd_train_vid(args):
                           image_gan_ckpt=args.image_gan_checkpoint,
                           mesh=_mesh_arg(args), steps_limit=args.steps_limit,
                           chunk=args.chunk, fsdp=args.fsdp,
-                          fsdp_min_size=args.fsdp_min_size)
+                          fsdp_min_size=args.fsdp_min_size,
+                          auto_intervene=args.auto_intervene)
 
 
 def cmd_train_recurrent(args):
@@ -956,6 +958,12 @@ def main(argv=None):
                         "--stream)")
     p.add_argument("--train-img-gen", action="store_true")
     p.add_argument("--train-img-disc", action="store_true")
+    p.add_argument("--auto-intervene", action="store_true",
+                   help="closed-loop collapse controller "
+                        "(train/controller.py): watch per-chunk d_loss and "
+                        "drive the traced noise/D-lr knobs — zero "
+                        "recompiles; works on a mesh and with "
+                        "--device-corpus")
     p.set_defaults(fn=cmd_train_vid)
 
     p = sub.add_parser("train-recurrent",

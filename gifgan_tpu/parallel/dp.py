@@ -77,7 +77,8 @@ def make_sharded_sampler(sample_fn: Callable, mesh: Mesh, *,
 def make_sharded_step(step_fn: Callable, mesh: Mesh, *, static_args: dict,
                       donate_state: bool = True,
                       batch_axis: int = 0,
-                      state_shardings: Any = None) -> Callable:
+                      state_shardings: Any = None,
+                      pass_knobs: bool = False) -> Callable:
     """Wrap a (ts, *batch_arrays, rng, **static) step into a pjit'd function
     with explicit shardings: state replicated, batch data-sharded, rng
     replicated.
@@ -87,12 +88,19 @@ def make_sharded_step(step_fn: Callable, mesh: Mesh, *, static_args: dict,
     plain (B, ...) batches, 1 for chunked (K, B, ...) stacks (train_chunk).
     state_shardings: optional sharding pytree for ts (e.g.
     tp.vid_state_tp_shardings for a DP x TP step); default replicates.
+    pass_knobs: the wrapped call gains a trailing runtime-knobs pytree of
+    scalars (train/vid.py Knobs — the collapse controller's traced levers),
+    replicated over the mesh and forwarded as step_fn(..., knobs=knobs).
+    Knob VALUE changes never recompile; only flipping pass_knobs does.
     """
     rep = replicated_sharding(mesh)
     # unwrap an already-jitted step so we re-jit with explicit shardings
     step_fn = getattr(step_fn, "__wrapped__", step_fn)
 
     def bound(ts, *args):
+        if pass_knobs:
+            *arrays, rng, knobs = args
+            return step_fn(ts, *arrays, rng, knobs=knobs, **static_args)
         *arrays, rng = args
         return step_fn(ts, *arrays, rng, **static_args)
 
@@ -101,17 +109,21 @@ def make_sharded_step(step_fn: Callable, mesh: Mesh, *, static_args: dict,
         spec[batch_axis] = DATA_AXIS
         return NamedSharding(mesh, P(*spec))
 
+    n_tail = 2 if pass_knobs else 1  # rng (+ knobs pytree) after the arrays
+
     def in_shardings(ts, *args):
-        *arrays, rng = args
+        arrays, tail = args[:len(args) - n_tail], args[len(args) - n_tail:]
         ts_sh = (state_shardings if state_shardings is not None
                  else jax.tree_util.tree_map(lambda _: rep, ts))
         arr_sh = tuple(_batch_sharding(a) for a in arrays)
-        return (ts_sh,) + arr_sh + (rep,)
+        tail_sh = tuple(jax.tree_util.tree_map(lambda _: rep, t)
+                        for t in tail)
+        return (ts_sh,) + arr_sh + tail_sh
 
     compiled_cache = {}
 
     def call(ts, *args):
-        shapes = tuple(a.shape for a in args[:-1])
+        shapes = tuple(a.shape for a in args[:len(args) - n_tail])
         if shapes not in compiled_cache:
             shardings = in_shardings(ts, *args)
             # pin the OUTPUT state layout to the input layout: without

@@ -54,6 +54,28 @@ def _epoch_iter(factory: Callable, epoch_seed: int) -> Iterator[np.ndarray]:
     return factory()
 
 
+def _restore_controller(controller, metrics_path: str) -> None:
+    """Replay auto-intervention events from a run's metrics log so a resumed
+    CollapseController starts at the knob levels the run last trained at
+    (policy counters restart conservatively; the endurance script uses the
+    same protocol on its own run log)."""
+    import json
+
+    try:
+        with open(metrics_path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("kind") == "auto_intervention":
+                    controller.image_noise = rec["image_noise_std"]
+                    controller.activation_noise = rec["activation_noise_std"]
+                    controller.d_lr_scale = rec["d_lr_scale"]
+    except OSError:
+        pass
+
+
 def _crossed(prev_step: int, step: int, every: int) -> bool:
     """True when [prev_step+1, step] contains a multiple of `every` — chunked
     loops advance k steps at once and epoch-tail partial flushes shift step
@@ -251,7 +273,8 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
                     steps_limit: Optional[int] = None,
                     chunk: int = 1,
                     clips_u8: Optional[np.ndarray] = None,
-                    fsdp: bool = False, fsdp_min_size: int = 2048):
+                    fsdp: bool = False, fsdp_min_size: int = 2048,
+                    auto_intervene: bool = False):
     """clips_iter yields time-folded (B*T, s, s, c) float [-1,1] batches.
 
     chunk>1 accumulates K batches and runs them as ONE XLA program
@@ -267,7 +290,15 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
     1-core host feeding the flagship loop through decode sustains ~12.5
     steps/s vs the chip's 40.5 (BASELINE.md loader row); this path makes
     the loop compute-bound on any host. Epoch/shuffle semantics preserved;
-    clips_iter is ignored. Single-device (mesh must be None)."""
+    clips_iter is ignored. Single-device (mesh must be None).
+
+    auto_intervene: closed-loop collapse controller (train/controller.py)
+    — watches per-chunk d_loss and drives the traced runtime Knobs (noise
+    stds, D-lr scale) so interventions against a saturated D cost zero
+    recompiles. Composes with every feeding/parallelism path here (mesh
+    steps pass the knobs through dp.make_sharded_step's pass_knobs).
+    Intervention events land in train_metrics.jsonl and a resume restores
+    the last intervened knob levels from it."""
     from gifgan_tpu.parallel.dp import (make_sharded_step, shard_batch_arrays,
                                         shard_train_state)
     from gifgan_tpu.train import vid as vid_train
@@ -279,13 +310,32 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
     rngs = PRNGSequence(tcfg.seed)
     ts = vid_train.init_train_state(rngs.next(), cfg, tcfg)
     ckpt_dir = os.path.join(run_dir, "checkpoints")
+    resumed = False
     if resume and ckpt.latest_step(ckpt_dir) is not None:
         ts = vid_train.VidTrainState(**ckpt.restore(ckpt_dir, ts._asdict()))
         print(f"resumed from step {int(ts.step)}")
         rngs = _resume_rngs(tcfg.seed, int(ts.step))
+        resumed = True
     elif image_gan_ckpt:
         ts = vid_train.load_image_gan(ts, image_gan_ckpt)
         print(f"loaded frozen image GAN from {image_gan_ckpt}")
+
+    controller = None
+    knob_args = ()  # (Knobs,) when the controller is active, else empty
+    if auto_intervene:
+        from gifgan_tpu.train.controller import CollapseController
+
+        controller = CollapseController(cfg.image_noise_std,
+                                        cfg.activation_noise_std)
+        if resumed:
+            # knob levels are policy state: recover the last levels the run
+            # actually trained at from the metrics log (counters restart
+            # conservatively — worst case the policy re-observes for
+            # `patience` chunks, examples/endurance_run.py does the same)
+            _restore_controller(controller,
+                                os.path.join(run_dir,
+                                             "train_metrics.jsonl"))
+        knob_args = (vid_train.make_knobs(cfg, **controller.knob_values()),)
 
     if fsdp and mesh is None:
         raise ValueError("fsdp=True requires a device mesh "
@@ -301,17 +351,21 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
             ts = shard_train_state(mesh, ts)
         step_fn = make_sharded_step(vid_train.train_step, mesh,
                                     static_args={"cfg": cfg, "tcfg": tcfg},
-                                    state_shardings=state_sh)
+                                    state_shardings=state_sh,
+                                    pass_knobs=auto_intervene)
         # chunked (K, B*T, ...) stacks shard over axis 1 — frames shard like
         # batch, the chunk axis is the lax.scan axis (tests/test_sharding.py)
         chunk_fn = make_sharded_step(vid_train.train_chunk, mesh,
                                      static_args={"cfg": cfg, "tcfg": tcfg},
                                      batch_axis=1,
-                                     state_shardings=state_sh) \
+                                     state_shardings=state_sh,
+                                     pass_knobs=auto_intervene) \
             if chunk > 1 else None
     else:
-        step_fn = lambda *a: vid_train.train_step(*a, cfg, tcfg)
-        chunk_fn = ((lambda *a: vid_train.train_chunk(*a, cfg, tcfg))
+        step_fn = (lambda ts_, f, z_, r, *kn:
+                   vid_train.train_step(ts_, f, z_, r, cfg, tcfg, *kn))
+        chunk_fn = ((lambda ts_, f, z_, r, *kn:
+                     vid_train.train_chunk(ts_, f, z_, r, cfg, tcfg, *kn))
                     if chunk > 1 else None)
 
     corpus = None
@@ -356,6 +410,22 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
     step = int(jax.device_get(ts.step))
     start_step = step
 
+    def observe(d_loss):
+        """Feed one chunk's D loss to the collapse controller; on an
+        intervention swap in fresh Knobs (same compiled program — only the
+        traced scalars move) and log the event to the metrics stream."""
+        nonlocal knob_args
+        if controller is None:
+            return
+        event = controller.observe(float(np.asarray(d_loss)))
+        if event is not None:
+            knob_args = (vid_train.make_knobs(cfg,
+                                              **controller.knob_values()),)
+            log.log(step, event)
+            print(f"[train-vid] auto-intervention @step {step}: "
+                  f"{event['action']} -> noise={controller.image_noise} "
+                  f"d_lr_scale={controller.d_lr_scale}", flush=True)
+
     def flush_pending():
         """Train the accumulated (possibly partial) chunk as one XLA program.
         Called at chunk boundaries AND at epoch/steps_limit exit so trailing
@@ -373,16 +443,22 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
             # (B*T, ...) batch, not the whole (k, B*T, ...) chunk stack
             ts, metrics = vid_train.train_chunk_ids(
                 ts, jnp.asarray(fstack, jnp.int32), zstack, rngs.next(),
-                corpus.data, cfg, tcfg, sample_fn=corpus.sample_fn)
+                corpus.data, cfg, tcfg, sample_fn=corpus.sample_fn,
+                knobs=knob_args[0] if knob_args else None)
         else:
             if corpus is not None:
                 # mesh: the sampled chunk comes back sharded over `data`
                 # (each device holds chunk/N), so whole-chunk gather is
                 # the memory-cheap layout-preserving path here
                 fstack = _fold_time(corpus.sample(fstack))
-            ts, metrics = chunk_fn(ts, fstack, zstack, rngs.next())
+            ts, metrics = chunk_fn(ts, fstack, zstack, rngs.next(),
+                                   *knob_args)
         step += k
-        log.log(step, {key: v[-1] for key, v in metrics.items()})
+        last = {key: v[-1] for key, v in metrics.items()}
+        if controller is not None:
+            last.update(controller.knob_values())
+        log.log(step, last)
+        observe(last["d_loss"])
 
     for epoch in range(tcfg.epochs):
         epoch_seed = tcfg.seed + start_step + epoch
@@ -406,9 +482,13 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
                     frames = _fold_time(corpus.sample(frames))
                 elif mesh is not None:
                     frames = shard_batch_arrays(mesh, frames)
-                ts, metrics = step_fn(ts, frames, z, rngs.next())
+                ts, metrics = step_fn(ts, frames, z, rngs.next(),
+                                      *knob_args)
                 step += 1
+                if controller is not None:
+                    metrics = {**metrics, **controller.knob_values()}
                 log.log(step, metrics)
+                observe(metrics["d_loss"])
             if _crossed(prev_step, step, tcfg.sample_every):
                 for name, zz in (("sample", sample_z),
                                  ("cross_sample", cross_z)):

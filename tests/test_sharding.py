@@ -105,6 +105,66 @@ def test_sharded_chunked_vid_training(key):
     assert np.isfinite(np.asarray(jax.device_get(m["d_loss"]))).all()
 
 
+def test_sharded_chunk_knobs_parity_and_live(key):
+    """dp.make_sharded_step(pass_knobs=True): the collapse controller's
+    traced Knobs ride the sharded chunked step (batch_axis=1, the loops.py
+    configuration). Knobs at the cfg's own values must match the cfg-baked
+    sharded program bit-for-bit, and changed knob values must alter the
+    dynamics through the SAME wrapped callable (the lever is live)."""
+    from jax.sharding import NamedSharding
+
+    mesh = make_mesh(data_parallel=8)
+    cfg = VidGANConfig(z_input_size=20, z_output_size=16, vid_length=4,
+                       hidden_dim=32, d_filters=16, image_gan=IMG,
+                       image_noise_std=0.1, activation_noise_std=0.1)
+    tcfg = TrainConfig(batch_size=8, gen_updates=1)
+    K = 2
+    frames = np.tanh(np.random.default_rng(0).standard_normal(
+        (K, 8 * 4, 32, 32, 1))).astype(np.float32)
+    z = np.random.default_rng(1).uniform(-1, 1, (K, 8, 20)).astype(np.float32)
+    frames_s = jax.device_put(frames, NamedSharding(
+        mesh, P(None, DATA_AXIS, None, None, None)))
+    z_s = jax.device_put(z, NamedSharding(mesh, P(None, DATA_AXIS, None)))
+    rng = jax.random.PRNGKey(5)
+    # the steps donate their state: a fresh init per call
+    fresh = lambda: shard_train_state(mesh,
+                                      vid_train.init_train_state(key, cfg,
+                                                                 tcfg))
+
+    baked = make_sharded_step(vid_train.train_chunk, mesh,
+                              static_args={"cfg": cfg, "tcfg": tcfg},
+                              batch_axis=1)
+    ts1, m1 = baked(fresh(), frames_s, z_s, rng)
+
+    stepk = make_sharded_step(vid_train.train_chunk, mesh,
+                              static_args={"cfg": cfg, "tcfg": tcfg},
+                              batch_axis=1, pass_knobs=True)
+    knobs = vid_train.make_knobs(cfg)
+    ts2, m2 = stepk(fresh(), frames_s, z_s, rng, knobs)
+
+    for k in m1:
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(m1[k])),
+            np.asarray(jax.device_get(m2[k])), err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(ts1.params),
+                    jax.tree_util.tree_leaves(ts2.params)):
+        np.testing.assert_array_equal(np.asarray(jax.device_get(a)),
+                                      np.asarray(jax.device_get(b)))
+
+    # intervention levels through the same callable: values move the losses
+    hot = vid_train.make_knobs(cfg, image_noise_std=0.5,
+                               activation_noise_std=0.5, d_lr_scale=0.5)
+    frames_s = jax.device_put(frames, NamedSharding(
+        mesh, P(None, DATA_AXIS, None, None, None)))
+    z_s = jax.device_put(z, NamedSharding(mesh, P(None, DATA_AXIS, None)))
+    ts3, m3 = stepk(fresh(), frames_s, z_s, rng, hot)
+    assert (float(np.asarray(jax.device_get(m3["d_loss"]))[-1]) !=
+            float(np.asarray(jax.device_get(m2["d_loss"]))[-1]))
+    # knobs stay replicated scalars; the returned state stays replicated
+    leaf = jax.tree_util.tree_leaves(ts3.params.vid_generator)[0]
+    assert leaf.sharding.spec == P()
+
+
 def test_tensor_parallel_generator_matches_replicated(key):
     """The reserved `model` axis works: channel-sharded params produce the
     same generator output as replicated params (pure layout change)."""

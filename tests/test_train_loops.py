@@ -396,6 +396,54 @@ def test_train_vid_fsdp_cli(tmp_path):
     assert ckpt.latest_step(os.path.join(run_dir, "checkpoints")) == 2
 
 
+def test_train_vid_auto_intervene_on_mesh_and_resume(tmp_path):
+    """--auto-intervene in the standard training loop: the controller's
+    traced Knobs ride the sharded chunked step (dp.make_sharded_step
+    pass_knobs), every chunk record carries the live knob values, and a
+    resume restores the last intervention's levels from the metrics log."""
+    import json
+    import os
+
+    from gifgan_tpu import cli
+    from gifgan_tpu.core import checkpoint as ckpt
+
+    run_dir = str(tmp_path / "vid_ai_mesh")
+    argv = ["train-vid", "--run-dir", run_dir, "--c-dim", "3",
+            "--vid-z-dim", "16", "--vid-length", "4",
+            "--output-size", "32", "--z-dim", "12", "--gf-dim", "8",
+            "--df-dim", "8", "--batch-size", "8", "--epochs", "1",
+            "--sample-every", "0", "--checkpoint-every", "2",
+            "--data-parallel", "8", "--device-corpus", "--chunk", "2",
+            "--image-noise", "0.1", "--activation-noise", "0.1",
+            "--dataset", "synthetic", "--dataset-size", "16",
+            "--auto-intervene"]
+    cli.main(argv + ["--steps-limit", "2"])
+    mpath = os.path.join(run_dir, "train_metrics.jsonl")
+    recs = [json.loads(ln) for ln in open(mpath)]
+    chunks = [r for r in recs if "d_loss" in r and "kind" not in r]
+    assert chunks
+    for r in chunks:  # live knob values logged alongside the diagnostics
+        assert r["image_noise_std"] == 0.1
+        assert r["d_lr_scale"] == 1.0
+
+    # simulate a prior intervention, then resume: chunk records must carry
+    # the restored levels, not the configured base
+    with open(mpath, "a") as f:
+        f.write(json.dumps({
+            "kind": "auto_intervention", "action": "raise_noise",
+            "step": 2, "d_loss": 0.01, "image_noise_std": 0.3,
+            "activation_noise_std": 0.3, "d_lr_scale": 0.5}) + "\n")
+    cli.main(argv + ["--steps-limit", "4"])
+    assert ckpt.latest_step(os.path.join(run_dir, "checkpoints")) == 4
+    recs2 = [json.loads(ln) for ln in open(mpath)]
+    resumed = [r for r in recs2
+               if "d_loss" in r and "kind" not in r and r["step"] > 2]
+    assert resumed
+    for r in resumed:
+        assert r["image_noise_std"] == 0.3
+        assert r["d_lr_scale"] == 0.5
+
+
 def test_train_vid_device_corpus_on_mesh(tmp_path):
     """train-vid --device-corpus --data-parallel 8: the HBM-resident ids-only
     data path now composes with the mesh (corpus replicated, sampled chunks
