@@ -47,8 +47,10 @@ def main():
             ref = got
         else:
             np.testing.assert_array_equal(got, ref)  # parity across methods
-        # steady state: sync each call by fetching a scalar (the relay
-        # under-reports block_until_ready — CLAUDE.md)
+        # steady state: all iters dispatch asynchronously and ONE scalar
+        # fetch drains the whole pipeline (scalar fetch because the relay
+        # under-reports block_until_ready — CLAUDE.md), so this measures
+        # amortized pipelined throughput, not per-call latency
         t0 = time.perf_counter()
         for i in range(args.iters):
             out = dc.sample(ids)

@@ -159,7 +159,10 @@ def main():
         try:
             with open(log_path) as f:
                 for line in f:
-                    rec = json.loads(line)
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue  # torn last line from a kill -9 mid-write
                     if rec.get("kind") == "chunk" and \
                             rec["chunk"] < start_chunk:
                         prior_wall = max(prior_wall, rec["wall_s"])
@@ -238,6 +241,19 @@ def main():
                             ts.state.img_discriminator, real, fake,
                             cfg.image_gan, batch=min(n, 256)))
 
+    # a kill -9 mid-write can leave the log's last line torn with no
+    # trailing newline; appending straight onto it would merge (and lose)
+    # the next record too — heal once at startup
+    try:
+        with open(log_path, "rb+") as f:
+            f.seek(0, 2)
+            if f.tell() > 0:
+                f.seek(-1, 2)
+                if f.read(1) != b"\n":
+                    f.write(b"\n")
+    except OSError:
+        pass
+
     def log(rec):
         with open(log_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
@@ -256,8 +272,17 @@ def main():
             try:
                 with open(log_path) as f:
                     for line in f:
-                        rec = json.loads(line)
-                        if rec.get("kind") == "auto_intervention":
+                        try:
+                            rec = json.loads(line)
+                        except ValueError:
+                            continue  # torn last line (kill -9 mid-write)
+                        # only replay events at or before the restored
+                        # checkpoint's chunk (events at chunk c are logged
+                        # before the ckpt at the same c) — later events
+                        # belong to a lost tail about to be re-trained
+                        if rec.get("kind") == "auto_intervention" and \
+                                rec.get("chunk", start_chunk + 1) \
+                                <= start_chunk:
                             controller.image_noise = rec["image_noise_std"]
                             controller.activation_noise = \
                                 rec["activation_noise_std"]

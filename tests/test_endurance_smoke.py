@@ -88,13 +88,24 @@ def test_endurance_auto_intervene_knobs_and_resume(tmp_path):
             "chunk": 2, "step": 4, "d_loss": 0.01,
             "image_noise_std": 0.3, "activation_noise_std": 0.3,
             "d_lr_scale": 0.5}) + "\n")
+    # plus: an event from a lost post-checkpoint tail (chunk beyond the
+    # restored checkpoint) and a torn last line (kill -9 mid-write) — the
+    # resume must ignore both (round-2 ADVICE)
+    with open(log_path, "a") as f:
+        f.write(json.dumps({
+            "kind": "auto_intervention", "action": "raise_noise",
+            "chunk": 99, "step": 198, "d_loss": 0.01,
+            "image_noise_std": 0.9, "activation_noise_std": 0.9,
+            "d_lr_scale": 0.125}) + "\n")
+        f.write('{"kind": "chunk", "chu')  # torn tail
     r2 = _run(run_dir, max_chunks=1, extra=("--auto-intervene",))
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "RESUMED" in r2.stdout
-    recs2 = [json.loads(ln) for ln in open(log_path)]
+    recs2 = [json.loads(ln) for ln in open(log_path)
+             if ln.strip().endswith("}")]
     resumed_chunks = [r for r in recs2
                       if r["kind"] == "chunk" and r["chunk"] > 2]
     assert resumed_chunks
     for r in resumed_chunks:
-        assert r["image_noise_std"] == 0.3
+        assert r["image_noise_std"] == 0.3  # not the stale-tail 0.9
         assert r["d_lr_scale"] == 0.5
