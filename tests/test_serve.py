@@ -273,6 +273,84 @@ def test_survey_server_end_to_end(tmp_path):
         server.shutdown()
 
 
+def test_survey_ab_pairs_end_to_end(tmp_path):
+    """The reference's actual MTurk methodology rebuilt end to end:
+    randomized A-vs-B pairs with a swap bit (randomize_csv.py:44-53), the
+    pair-comparison UI, un-swapped preference win-rates in /results
+    (analyze_results.sql), and the per-worker allowlist gate."""
+    pytest.importorskip("imageio")
+    from gifgan_tpu.data.synthetic import synthetic_clips
+    from gifgan_tpu.eval import export_survey_samples
+    from gifgan_tpu.eval.survey import make_pair_manifest
+    from gifgan_tpu.serve.survey import SurveyServer, serve as serve_survey
+
+    export_survey_samples(
+        {"nested": lambda n: synthetic_clips(n, 3, 16, seed=1),
+         "real": lambda n: synthetic_clips(n, 3, 16, seed=2)},
+        str(tmp_path), samples_per_variant=4)
+    pairs = make_pair_manifest(str(tmp_path), "nested", "real", seed=3,
+                               url_prefix="https://host/x/")
+    assert len(pairs["pairs"]) == 4
+    # swap semantics: swap=0 -> shown_a is variant_a's file
+    for p in pairs["pairs"]:
+        a_is_nested = p["shown_a"].startswith("nested_samples/")
+        assert a_is_nested == (p["swap"] == 0)
+    # CSV export matches the reference's randomize_csv.py shape
+    csv_lines = open(tmp_path / "pairs.csv").read().splitlines()
+    assert csv_lines[0] == "image_A_url,image_B_url,swap"
+    assert csv_lines[1].startswith("https://host/x/")
+
+    survey = SurveyServer(str(tmp_path), allowed_workers={"w1", "w2"})
+    server = serve_survey(survey, port=0, background=True)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+
+    def post(payload):
+        req = urllib.request.Request(
+            base + "/response", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        return urllib.request.urlopen(req, timeout=10)
+
+    try:
+        with urllib.request.urlopen(base + "/", timeout=10) as r:
+            assert b"more realistic" in r.read()  # A/B page, not rating
+        with urllib.request.urlopen(base + "/pairs.json", timeout=10) as r:
+            served = json.loads(r.read())
+        assert served["variant_a"] == "nested"
+        # w1 always prefers the DISPLAYED slot holding "nested"; w2 answers
+        # "A" once regardless — exercises un-swapping both ways
+        for p in served["pairs"]:
+            choice = "A" if p["swap"] == 0 else "B"
+            with post({"pair": p["id"], "choice": choice,
+                       "worker": "w1"}) as r:
+                assert json.loads(r.read())["response"] == "success"
+        with post({"pair": served["pairs"][0]["id"], "choice": "A",
+                   "worker": "w2"}):
+            pass
+        with urllib.request.urlopen(base + "/results", timeout=10) as r:
+            res = json.loads(r.read())
+        ab = res["ab"]
+        n = len(served["pairs"])
+        w2_chose_nested = served["pairs"][0]["swap"] == 0
+        assert ab["n_responses"] == n + 1
+        assert ab["wins"]["nested"] == n + int(w2_chose_nested)
+        assert ab["wins"]["real"] == 1 - int(w2_chose_nested)
+        assert ab["workers"]["w1"]["n"] == n
+        assert ab["best_pairs_for_a"][0]["pct_nested"] == 1.0
+        # unlisted worker -> 403; unknown pair / bad choice -> 400
+        for payload, code in (
+                ({"pair": 0, "choice": "A", "worker": "intruder"}, 403),
+                ({"pair": 999, "choice": "A", "worker": "w1"}, 400),
+                ({"pair": 0, "choice": "C", "worker": "w1"}, 400)):
+            try:
+                post(payload)
+                assert False, payload
+            except urllib.error.HTTPError as e:
+                assert e.code == code, payload
+    finally:
+        server.shutdown()
+
+
 def test_explorer_serves_static_frontend(core):
     import gifgan_tpu.serve as serve_pkg
 
