@@ -54,11 +54,19 @@ def _epoch_iter(factory: Callable, epoch_seed: int) -> Iterator[np.ndarray]:
     return factory()
 
 
-def _restore_controller(controller, metrics_path: str) -> None:
+def _restore_controller(controller, metrics_path: str,
+                        max_step: Optional[int] = None) -> None:
     """Replay auto-intervention events from a run's metrics log so a resumed
     CollapseController starts at the knob levels the run last trained at
     (policy counters restart conservatively; the endurance script uses the
-    same protocol on its own run log)."""
+    same protocol on its own run log).
+
+    max_step: only replay events at or before the restored checkpoint's step
+    (log.log stamps every record). Checkpoints are periodic but events are
+    per chunk, so a crash between an intervention and the next checkpoint
+    leaves stale post-checkpoint events in the log — they belong to a lost
+    tail about to be re-trained, and replaying them would resume the
+    pre-intervention weights at post-intervention knob levels (ADVICE r2)."""
     import json
 
     try:
@@ -68,7 +76,9 @@ def _restore_controller(controller, metrics_path: str) -> None:
                     rec = json.loads(line)
                 except ValueError:
                     continue
-                if rec.get("kind") == "auto_intervention":
+                if rec.get("kind") == "auto_intervention" and (
+                        max_step is None
+                        or rec.get("step", max_step + 1) <= max_step):
                     controller.image_noise = rec["image_noise_std"]
                     controller.activation_noise = rec["activation_noise_std"]
                     controller.d_lr_scale = rec["d_lr_scale"]
@@ -334,7 +344,8 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
             # `patience` chunks, examples/endurance_run.py does the same)
             _restore_controller(controller,
                                 os.path.join(run_dir,
-                                             "train_metrics.jsonl"))
+                                             "train_metrics.jsonl"),
+                                max_step=int(ts.step))
         knob_args = (vid_train.make_knobs(cfg, **controller.knob_values()),)
 
     if fsdp and mesh is None:

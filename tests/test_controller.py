@@ -180,3 +180,37 @@ def test_controller_deescalates_in_reverse_order():
     assert "lower_noise" in actions
     assert c.image_noise == 0.1 and c.activation_noise == 0.1
     assert not c.intervened
+
+
+def test_restore_controller_skips_stale_tail_events(tmp_path):
+    """loops._restore_controller must only replay intervention events at or
+    before the restored checkpoint's step: a crash after an intervention but
+    before the next checkpoint leaves post-checkpoint events in the metrics
+    log that belong to a lost (about-to-be-retrained) tail (ADVICE r2)."""
+    import json
+
+    from gifgan_tpu.train.loops import _restore_controller
+
+    path = tmp_path / "train_metrics.jsonl"
+    events = [
+        {"kind": "auto_intervention", "step": 100, "image_noise_std": 0.2,
+         "activation_noise_std": 0.2, "d_lr_scale": 1.0},
+        {"kind": "auto_intervention", "step": 300, "image_noise_std": 0.4,
+         "activation_noise_std": 0.4, "d_lr_scale": 0.5},
+    ]
+    with open(path, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+        f.write('{"kind": "auto_interv')  # torn tail (kill -9 mid-write)
+
+    c = CollapseController(0.1, 0.1, CC)
+    _restore_controller(c, str(path), max_step=200)  # ckpt between events
+    assert c.image_noise == 0.2 and c.d_lr_scale == 1.0
+
+    c2 = CollapseController(0.1, 0.1, CC)
+    _restore_controller(c2, str(path), max_step=300)
+    assert c2.image_noise == 0.4 and c2.d_lr_scale == 0.5
+
+    c3 = CollapseController(0.1, 0.1, CC)
+    _restore_controller(c3, str(path))  # no filter: legacy replay-all
+    assert c3.image_noise == 0.4 and c3.d_lr_scale == 0.5
