@@ -306,10 +306,32 @@ def _run_child_attempt(deadline_total: float):
                 pass
 
 
+def _seed_cache_export():
+    """Copy the flagship executables from the live compile cache into the
+    repo's committed seed dir (core/cache.SEED_DIR) so the NEXT round's
+    fresh machine starts warm — run after a real-chip bench populated the
+    cache. Prints what it exported."""
+    import shutil
+
+    from gifgan_tpu.core.cache import DEFAULT_CACHE_DIR, SEED_DIR
+
+    os.makedirs(SEED_DIR, exist_ok=True)
+    exported = []
+    for name in sorted(os.listdir(DEFAULT_CACHE_DIR)):
+        if name.startswith("jit_train_chunk-") and name.endswith("-cache"):
+            shutil.copyfile(os.path.join(DEFAULT_CACHE_DIR, name),
+                            os.path.join(SEED_DIR, name))
+            exported.append(name)
+    print(json.dumps({"seeded": exported}))
+
+
 def main():
     if "--cpu-reference" in sys.argv:
         val = run_cpu_reference()
         print(json.dumps({"cpu_reference_steps_per_sec": val}))
+        return
+    if "--seed-cache" in sys.argv:
+        _seed_cache_export()
         return
     if "--measure-child" in sys.argv:
         _emit(run_bench())

@@ -19,17 +19,23 @@ import numpy as np
 
 def _mesh_arg(args):
     """--data-parallel semantics: 0 = all devices (mesh skipped when only one
-    device exists), 1 = explicitly no mesh, N>1 = N-way data parallel."""
+    device exists), 1 = explicitly no mesh, N>1 = N-way data parallel.
+    --tensor-parallel / --seq-parallel (train-vid) add `model` / `seq` mesh
+    axes; any value > 1 forces a mesh (the data axis takes the remaining
+    devices unless --data-parallel pins it)."""
     dp = getattr(args, "data_parallel", 0)
-    if dp == 1:
-        return None
-    import jax
+    tp = getattr(args, "tensor_parallel", 1) or 1
+    sp = getattr(args, "seq_parallel", 1) or 1
+    if tp <= 1 and sp <= 1:
+        if dp == 1:
+            return None
+        import jax
 
-    if dp == 0 and len(jax.devices()) == 1:
-        return None
+        if dp == 0 and len(jax.devices()) == 1:
+            return None
     from gifgan_tpu.core.mesh import make_mesh
 
-    return make_mesh(data_parallel=dp)
+    return make_mesh(data_parallel=dp, model_parallel=tp, seq_parallel=sp)
 
 
 def _dcgan_cfg(args):
@@ -964,6 +970,18 @@ def main(argv=None):
                         "drive the traced noise/D-lr knobs — zero "
                         "recompiles; works on a mesh and with "
                         "--device-corpus")
+    p.add_argument("--tensor-parallel", type=int, default=1,
+                   help="devices on the mesh `model` axis: conv/linear "
+                        "weights AND Adam slots channel-sharded "
+                        "(parallel/tp.py full layout). Composes with "
+                        "--data-parallel/--seq-parallel; not with --fsdp")
+    p.add_argument("--seq-parallel", type=int, default=1,
+                   help="devices on the mesh `seq` axis: the time dimension "
+                        "WITHIN each clip shards over devices "
+                        "(parallel/sp.py) — reaches the few-long-clips "
+                        "regime plain DP cannot. Composes with "
+                        "--data-parallel/--tensor-parallel/"
+                        "--auto-intervene")
     p.set_defaults(fn=cmd_train_vid)
 
     p = sub.add_parser("train-recurrent",

@@ -19,6 +19,39 @@ import os
 
 DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/gifgan_jax_cache")
 
+# Repo-committed cache seed: ~/.cache does NOT survive across driver rounds
+# (fresh machine each round) but the git repo does, so the flagship bench
+# executable (the one whose ~350 s cold compile burned a driver timeout in
+# rounds 1-2) is checked in here and copied into the live cache on first
+# use — the driver's single `python bench.py` then starts warm
+# (`"compile_cache": "warm"` in the emitted JSON). Export with
+# `python bench.py --seed-cache` after a real-chip bench run. Entries are
+# keyed by computation + jax/XLA version; a version change simply misses
+# and falls back to the cold path.
+SEED_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".jax_cache_seed")
+
+
+def seed_cache_from_repo(cache_dir: str = None) -> int:
+    """Copy repo-committed cache entries into the live cache dir (skip ones
+    already present). Returns the number copied; never raises."""
+    import shutil
+
+    dst = cache_dir or DEFAULT_CACHE_DIR
+    copied = 0
+    try:
+        os.makedirs(dst, exist_ok=True)
+        for name in os.listdir(SEED_DIR):
+            if not name.endswith("-cache"):
+                continue
+            target = os.path.join(dst, name)
+            if not os.path.exists(target):
+                shutil.copyfile(os.path.join(SEED_DIR, name), target)
+                copied += 1
+    except OSError:
+        pass
+    return copied
+
 
 def enable_compile_cache(cache_dir: str = None) -> None:
     """Point jax at the shared persistent compile cache. Safe to call
@@ -36,6 +69,7 @@ def enable_compile_cache(cache_dir: str = None) -> None:
                               "none")
         except Exception:
             pass
+        seed_cache_from_repo(cache_dir)
     except Exception:
         pass
 

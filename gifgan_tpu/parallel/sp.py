@@ -73,9 +73,24 @@ def shard_vid_batch(mesh: Mesh, frames, z, batch_axis: int = 0):
     return f, zz
 
 
+def vid_d_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Layout wall for the video discriminator's folded activation inputs:
+    batch over `data` ONLY (time gathered over `seq`). The per-frame image
+    stack carries the (data, seq) composite — that is where the FLOPs are —
+    but the vid-D's stride-2 conv3ds shrink the time axis toward 1, below
+    the seq axis size, and GSPMD resolves seq-sharded size-1 cotangent dims
+    with replicate-then-repartition warnings (MULTICHIP_r02; round-2
+    verdict item 4). Pass as train_step's static fold_sharding so both the
+    real and fake activations hit the same wall before the vid-D."""
+    spec = [None] * ndim
+    spec[0] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
 def make_sp_step(step_fn: Callable, mesh: Mesh, *, static_args: dict,
                  donate_state: bool = True, batch_axis: int = 0,
-                 state_shardings: Any = None) -> Callable:
+                 state_shardings: Any = None,
+                 pass_knobs: bool = False) -> Callable:
     """Wrap a (ts, frames, z, rng, **static) step into a jitted function
     whose frames shard over (data, seq) and z over data. Mirrors
     dp.make_sharded_step (same donation/out-sharding pinning); composes
@@ -85,29 +100,43 @@ def make_sp_step(step_fn: Callable, mesh: Mesh, *, static_args: dict,
     step_fn signature: (ts, frames, z, rng, **static_args) -> (ts, metrics).
     batch_axis: 0 for train_step's (B*T, ...) frames / (B, ...) z, 1 for
     train_chunk's (K, B*T, ...) / (K, B, ...) stacks.
+    pass_knobs: the wrapped call gains a trailing runtime-knobs pytree
+    (train/vid.py Knobs), replicated over the mesh and forwarded as
+    step_fn(..., knobs=knobs) — same contract as dp.make_sharded_step, so
+    the collapse controller works under sequence parallelism too.
+
+    Pass static_args["fold_sharding"] = vid_d_sharding(mesh) so the vid
+    discriminator sees data-only folded activations (the layout wall that
+    keeps the 3-axis compile free of SPMD rematerialization warnings).
     """
     rep = replicated_sharding(mesh)
     step_fn = getattr(step_fn, "__wrapped__", step_fn)
 
-    def bound(ts, frames, z, rng):
+    def bound(ts, frames, z, *tail):
+        if pass_knobs:
+            rng, knobs = tail
+            return step_fn(ts, frames, z, rng, knobs=knobs, **static_args)
+        (rng,) = tail
         return step_fn(ts, frames, z, rng, **static_args)
 
     compiled_cache = {}
 
-    def call(ts, frames, z, rng):
+    def call(ts, frames, z, *tail):
         shapes = (frames.shape, z.shape)
         if shapes not in compiled_cache:
             ts_sh = (state_shardings if state_shardings is not None
                      else jax.tree_util.tree_map(lambda _: rep, ts))
+            tail_sh = tuple(jax.tree_util.tree_map(lambda _: rep, t)
+                            for t in tail)
             shardings = (ts_sh,
                          folded_seq_sharding(mesh, frames.ndim, batch_axis),
-                         clip_sharding(mesh, z.ndim, batch_axis), rep)
+                         clip_sharding(mesh, z.ndim, batch_axis)) + tail_sh
             compiled_cache[shapes] = jax.jit(
                 bound,
                 in_shardings=shardings,
                 out_shardings=(ts_sh, rep),
                 donate_argnums=(0,) if donate_state else (),
             )
-        return compiled_cache[shapes](ts, frames, z, rng)
+        return compiled_cache[shapes](ts, frames, z, *tail)
 
     return call

@@ -31,8 +31,13 @@ def _spec_for(path_key: str, shape) -> P:
         # collectives either way.
         if nd in (2, 4, 5):
             return P(*([None] * (nd - 1) + [MODEL_AXIS]))
-    if nd == 1:          # biases / bn vectors follow output channels
-        return P(MODEL_AXIS)
+    # biases / BN vectors stay REPLICATED: they are tiny (C elements — no
+    # memory to save), and model-sharding them forces their batch-reduced
+    # grads (partial sums sharded over data x seq) through a reshard GSPMD
+    # can only express as replicate-then-repartition ("involuntary full
+    # rematerialization" warnings on the 3-axis mesh, MULTICHIP_r02; round-2
+    # verdict item 4). Shard only the matmul/conv weights — the scaling-book
+    # recipe — and let vector grads resolve as plain all-reduces.
     return P()
 
 

@@ -351,27 +351,67 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
     if fsdp and mesh is None:
         raise ValueError("fsdp=True requires a device mesh "
                          "(--data-parallel 0 or N, not 1)")
+    sp_ways = 1
     if mesh is not None:
+        from gifgan_tpu.core.mesh import MODEL_AXIS, SEQ_AXIS
+
+        # the mesh IS the parallelism request: a model axis > 1 selects the
+        # full TP layout (parallel/tp.py — conv/linear weights + Adam slots
+        # channel-sharded), a seq axis > 1 selects the sequence-parallel
+        # step wrapper (parallel/sp.py — time within each clip sharded).
+        # Both compose with each other and with --auto-intervene's knobs;
+        # the seven layouts are pinned in tests/test_sharding.py,
+        # tests/test_sp.py and the driver dryrun.
+        tp_ways = mesh.shape.get(MODEL_AXIS, 1)
+        sp_ways = mesh.shape.get(SEQ_AXIS, 1)
         state_sh = None
         if fsdp:
+            if tp_ways > 1:
+                raise ValueError(
+                    "--fsdp and --tensor-parallel shard the train state "
+                    "along different mesh axes; pick one")
             from gifgan_tpu.parallel.fsdp import place_and_shardings
 
             ts, state_sh = place_and_shardings(mesh, ts,
                                                min_size=fsdp_min_size)
+        elif tp_ways > 1:
+            from gifgan_tpu.parallel.tp import (place_vid_state_tp,
+                                                vid_state_tp_shardings)
+
+            ts = place_vid_state_tp(mesh, ts, full=True)
+            state_sh = vid_state_tp_shardings(mesh, ts, full=True)
         else:
             ts = shard_train_state(mesh, ts)
-        step_fn = make_sharded_step(vid_train.train_step, mesh,
-                                    static_args={"cfg": cfg, "tcfg": tcfg},
+        if sp_ways > 1:
+            from gifgan_tpu.parallel.sp import make_sp_step, vid_d_sharding
+
+            static = {"cfg": cfg, "tcfg": tcfg,
+                      "fold_sharding": vid_d_sharding(mesh)}
+            step_fn = make_sp_step(vid_train.train_step, mesh,
+                                   static_args=static,
+                                   state_shardings=state_sh,
+                                   pass_knobs=auto_intervene)
+            chunk_fn = make_sp_step(vid_train.train_chunk, mesh,
+                                    static_args=static, batch_axis=1,
                                     state_shardings=state_sh,
-                                    pass_knobs=auto_intervene)
-        # chunked (K, B*T, ...) stacks shard over axis 1 — frames shard like
-        # batch, the chunk axis is the lax.scan axis (tests/test_sharding.py)
-        chunk_fn = make_sharded_step(vid_train.train_chunk, mesh,
-                                     static_args={"cfg": cfg, "tcfg": tcfg},
-                                     batch_axis=1,
-                                     state_shardings=state_sh,
-                                     pass_knobs=auto_intervene) \
-            if chunk > 1 else None
+                                    pass_knobs=auto_intervene) \
+                if chunk > 1 else None
+        else:
+            step_fn = make_sharded_step(vid_train.train_step, mesh,
+                                        static_args={"cfg": cfg,
+                                                     "tcfg": tcfg},
+                                        state_shardings=state_sh,
+                                        pass_knobs=auto_intervene)
+            # chunked (K, B*T, ...) stacks shard over axis 1 — frames shard
+            # like batch, the chunk axis is the lax.scan axis
+            # (tests/test_sharding.py)
+            chunk_fn = make_sharded_step(vid_train.train_chunk, mesh,
+                                         static_args={"cfg": cfg,
+                                                      "tcfg": tcfg},
+                                         batch_axis=1,
+                                         state_shardings=state_sh,
+                                         pass_knobs=auto_intervene) \
+                if chunk > 1 else None
     else:
         step_fn = (lambda ts_, f, z_, r, *kn:
                    vid_train.train_step(ts_, f, z_, r, cfg, tcfg, *kn))
@@ -491,7 +531,10 @@ def train_vid_dcgan(clips_iter: Callable[[], Iterator[np.ndarray]],
             else:
                 if corpus is not None:
                     frames = _fold_time(corpus.sample(frames))
-                elif mesh is not None:
+                elif mesh is not None and sp_ways == 1:
+                    # under SP the step's in_shardings place the host batch
+                    # (data, seq)-folded directly; pre-placing data-only
+                    # here would just add a resharding pass
                     frames = shard_batch_arrays(mesh, frames)
                 ts, metrics = step_fn(ts, frames, z, rngs.next(),
                                       *knob_args)

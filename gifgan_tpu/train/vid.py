@@ -109,11 +109,17 @@ def _noise_stds(cfg: VidGANConfig, knobs):
 
 
 def _fake_activations(params: VidGANParams, state: VidGANState, z: Array,
-                      cfg: VidGANConfig, keys, knobs=None):
+                      cfg: VidGANConfig, keys, knobs=None,
+                      fold_sharding=None):
     """vidG(train) -> imgG(inference) -> noise -> imgD(inference) h2 tap.
     Returns (noisy acts, g_out, vid G state, PRE-noise act std — the
     collapse diagnostic is measured before the injected noise,
-    z_model_lib.py:85,90)."""
+    z_model_lib.py:85,90).
+
+    fold_sharding (optional NamedSharding): layout wall at the vid-D
+    boundary — see train_step's docstring (sequence-parallel runs pin the
+    folded activations data-only here so the vid-D never tries to shard
+    its shrinking time axis over `seq`)."""
     img_std, act_std = _noise_stds(cfg, knobs)
     g_out, vid_gs = vid_dcgan.vid_generator(
         params.vid_generator, state.vid_generator, z, cfg, train=True)
@@ -126,23 +132,29 @@ def _fake_activations(params: VidGANParams, state: VidGANState, z: Array,
         cfg.image_gan, train=False)
     pre_noise_std = nn.get_std(acts.reshape(acts.shape[0], -1))
     acts = nn.add_noise(keys[1], acts, act_std)
+    if fold_sharding is not None:
+        acts = jax.lax.with_sharding_constraint(acts, fold_sharding)
     return acts, g_out, vid_gs, pre_noise_std
 
 
 def _real_activations(params: VidGANParams, state: VidGANState, frames: Array,
-                      cfg: VidGANConfig, keys, knobs=None):
+                      cfg: VidGANConfig, keys, knobs=None,
+                      fold_sharding=None):
     img_std, act_std = _noise_stds(cfg, knobs)
     noisy = nn.add_noise(keys[0], frames, img_std)
     _, acts, _ = dcgan.discriminator(
         params.img_discriminator, state.img_discriminator, noisy,
         cfg.image_gan, train=False)
     pre_noise_std = nn.get_std(acts.reshape(acts.shape[0], -1))
-    return nn.add_noise(keys[1], acts, act_std), pre_noise_std
+    acts = nn.add_noise(keys[1], acts, act_std)
+    if fold_sharding is not None:
+        acts = jax.lax.with_sharding_constraint(acts, fold_sharding)
+    return acts, pre_noise_std
 
 
 def _d_step(ts: VidTrainState, frames: Array, z: Array, rng,
             cfg: VidGANConfig, tcfg: TrainConfig, opt,
-            knobs=None) -> Tuple[VidTrainState, Dict]:
+            knobs=None, fold_sharding=None) -> Tuple[VidTrainState, Dict]:
     keys = jax.random.split(rng, 4)
     frozen = ts.params
 
@@ -151,9 +163,10 @@ def _d_step(ts: VidTrainState, frames: Array, z: Array, rng,
         if "img" in trainable:
             params = params._replace(img_discriminator=trainable["img"])
         real_acts, real_std = _real_activations(params, ts.state, frames,
-                                                cfg, keys[:2], knobs)
-        fake_acts, _, _, fake_std = _fake_activations(params, ts.state, z,
-                                                      cfg, keys[2:], knobs)
+                                                cfg, keys[:2], knobs,
+                                                fold_sharding)
+        fake_acts, _, _, fake_std = _fake_activations(
+            params, ts.state, z, cfg, keys[2:], knobs, fold_sharding)
         logits_real, ds1 = vid_dcgan.vid_discriminator(
             params.vid_discriminator, ts.state.vid_discriminator, real_acts,
             cfg, train=True)
@@ -193,7 +206,8 @@ def _d_step(ts: VidTrainState, frames: Array, z: Array, rng,
 
 
 def _g_step(ts: VidTrainState, z: Array, rng, cfg: VidGANConfig,
-            tcfg: TrainConfig, opt, knobs=None) -> Tuple[VidTrainState, Dict]:
+            tcfg: TrainConfig, opt, knobs=None,
+            fold_sharding=None) -> Tuple[VidTrainState, Dict]:
     keys = jax.random.split(rng, 2)
     frozen = ts.params
 
@@ -202,7 +216,7 @@ def _g_step(ts: VidTrainState, z: Array, rng, cfg: VidGANConfig,
         if "img" in trainable:
             params = params._replace(img_generator=trainable["img"])
         fake_acts, g_out, vid_gs, _ = _fake_activations(
-            params, ts.state, z, cfg, keys, knobs)
+            params, ts.state, z, cfg, keys, knobs, fold_sharding)
         logits_fake, _ = vid_dcgan.vid_discriminator(
             params.vid_discriminator, ts.state.vid_discriminator, fake_acts,
             cfg, train=True)
@@ -227,10 +241,12 @@ def _g_step(ts: VidTrainState, z: Array, rng, cfg: VidGANConfig,
                 "first_frame_loss": ff}
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tcfg"), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("cfg", "tcfg",
+                                              "fold_sharding"),
+                   donate_argnums=(0,))
 def train_step(ts: VidTrainState, frames: Array, z: Array, rng,
                cfg: VidGANConfig, tcfg: TrainConfig, knobs=None,
-               ) -> Tuple[VidTrainState, Dict]:
+               fold_sharding=None) -> Tuple[VidTrainState, Dict]:
     """One batch: `disc_updates` D + `gen_updates` G updates, one XLA program.
 
     `frames` is time-folded (B*T, s, s, c) — the layout the whole stack
@@ -238,12 +254,24 @@ def train_step(ts: VidTrainState, frames: Array, z: Array, rng,
 
     knobs (optional, traced): runtime noise levels + D-lr scale — see
     Knobs. None keeps the cfg-baked program.
+
+    fold_sharding (optional, STATIC NamedSharding): layout wall applied to
+    BOTH the real- and fake-path activations right before they enter the
+    vid discriminator. Sequence-parallel runs pass sp.vid_d_sharding(mesh)
+    — folded batch over `data` only — so the per-frame image stack (where
+    the FLOPs are) computes (data x seq)-sharded, and time is gathered over
+    `seq` once at this boundary: the vid-D's stride-2 conv3ds shrink T
+    toward 1, and letting GSPMD keep seq-sharding those shrinking axes
+    produces replicate-then-repartition resharding of the backward
+    cotangents ("involuntary full rematerialization", MULTICHIP_r02;
+    round-2 verdict item 4).
     """
     opt_g, opt_d = make_optimizer(tcfg, "g"), make_optimizer(tcfg, "d")
     metrics = {"images_std": nn.get_std(frames.reshape(frames.shape[0], -1))}
     keys = jax.random.split(rng, tcfg.disc_updates + tcfg.gen_updates)
     for i in range(tcfg.disc_updates):
-        ts, m = _d_step(ts, frames, z, keys[i], cfg, tcfg, opt_d, knobs)
+        ts, m = _d_step(ts, frames, z, keys[i], cfg, tcfg, opt_d, knobs,
+                        fold_sharding)
         metrics.update(m)
     # NOTE: the repeated G updates stay Python-unrolled on purpose. A
     # lax.scan over the G update compiles ~25% smaller/faster (8.7 vs
@@ -252,7 +280,7 @@ def train_step(ts: VidTrainState, frames: Array, z: Array, rng,
     # iterations. Runtime wins; bench.py hides the compile instead.
     for i in range(tcfg.gen_updates):
         ts, m = _g_step(ts, z, keys[tcfg.disc_updates + i], cfg, tcfg,
-                        opt_g, knobs)
+                        opt_g, knobs, fold_sharding)
         metrics.update(m)
     ts = ts._replace(step=ts.step + 1)
     return ts, metrics
@@ -330,10 +358,12 @@ def sample_videos(ts: VidTrainState, z: Array, cfg: VidGANConfig) -> Array:
                           cfg.image_gan.c_dim)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tcfg"), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("cfg", "tcfg",
+                                              "fold_sharding"),
+                   donate_argnums=(0,))
 def train_chunk(ts: VidTrainState, frames_stack: Array, z_stack: Array, rng,
                 cfg: VidGANConfig, tcfg: TrainConfig, knobs=None,
-                ) -> Tuple[VidTrainState, Dict]:
+                fold_sharding=None) -> Tuple[VidTrainState, Dict]:
     """K train steps as ONE XLA program via lax.scan.
 
     Per-step host dispatch through the device runtime costs as much as the
@@ -349,7 +379,7 @@ def train_chunk(ts: VidTrainState, frames_stack: Array, z_stack: Array, rng,
     def body(ts, xs):
         frames, z, key = xs
         ts, metrics = train_step.__wrapped__(ts, frames, z, key, cfg, tcfg,
-                                             knobs)
+                                             knobs, fold_sharding)
         return ts, metrics
 
     ts, metrics = jax.lax.scan(body, ts, (frames_stack, z_stack, keys))

@@ -220,3 +220,52 @@ def test_scrape_dry_run_with_committed_keywords(tmp_path, capsys):
     assert len(plan["keywords"]) >= 20
     assert "face" in plan["keywords"]
     assert plan["planned_requests_per_keyword"] == 8 * 2  # 8 thr x 200/100
+
+
+def test_cli_train_vid_tensor_parallel(tmp_path):
+    """train-vid --tensor-parallel 2 (round-2 verdict item 3): the full TP
+    layout — conv/linear weights + Adam slots channel-sharded over the
+    mesh `model` axis — launched from the CLI, composed with DP and
+    chunking, on the 8-device mesh."""
+    run_dir = str(tmp_path / "vid_tp")
+    _run(["train-vid", "--run-dir", run_dir, "--chunk", "2",
+          "--vid-length", "4", "--vid-z-dim", "20",
+          "--batch-size", "8", "--epochs", "1", "--sample-every", "0",
+          "--checkpoint-every", "2", "--steps-limit", "2",
+          "--data-parallel", "4", "--tensor-parallel", "2",
+          "--dataset", "synthetic", "--dataset-size", "16"] + SMALL_MODEL)
+    recs = [json.loads(l) for l in
+            open(os.path.join(run_dir, "train_metrics.jsonl"))]
+    assert np.isfinite(recs[-1]["d_loss"]) and np.isfinite(recs[-1]["g_loss"])
+    assert os.path.isdir(os.path.join(run_dir, "checkpoints"))
+
+    # --fsdp and --tensor-parallel shard state along different axes: refused
+    with pytest.raises(ValueError):
+        _run(["train-vid", "--run-dir", str(tmp_path / "vid_bad"),
+              "--vid-length", "4", "--vid-z-dim", "20",
+              "--batch-size", "8", "--epochs", "1", "--sample-every", "0",
+              "--checkpoint-every", "0", "--steps-limit", "1",
+              "--data-parallel", "4", "--tensor-parallel", "2", "--fsdp",
+              "--dataset", "synthetic", "--dataset-size", "16"]
+             + SMALL_MODEL)
+
+
+def test_cli_train_vid_seq_parallel_auto_intervene(tmp_path):
+    """train-vid --seq-parallel 4 in the pure-SP regime (data == batch: each
+    clip's frames spread over the seq axis), composed with the collapse
+    controller's runtime knobs (--auto-intervene rides make_sp_step's
+    pass_knobs) — round-2 verdict item 3."""
+    run_dir = str(tmp_path / "vid_sp")
+    _run(["train-vid", "--run-dir", run_dir, "--chunk", "2",
+          "--vid-length", "4", "--vid-z-dim", "20",
+          "--batch-size", "2", "--epochs", "1", "--sample-every", "0",
+          "--checkpoint-every", "2", "--steps-limit", "2",
+          "--data-parallel", "2", "--seq-parallel", "4",
+          "--auto-intervene",
+          "--dataset", "synthetic", "--dataset-size", "16"] + SMALL_MODEL)
+    recs = [json.loads(l) for l in
+            open(os.path.join(run_dir, "train_metrics.jsonl"))]
+    assert np.isfinite(recs[-1]["d_loss"]) and np.isfinite(recs[-1]["g_loss"])
+    # knob fields live on every chunk record (the controller is wired in)
+    assert "image_noise_std" in recs[-1] and "d_lr_scale" in recs[-1]
+    assert os.path.isdir(os.path.join(run_dir, "checkpoints"))

@@ -302,3 +302,26 @@ def test_read_tf_checkpoint_fuzz_no_crash(tmp_path):
     # sanity: the intact originals still parse (fuzz didn't mutate in place)
     assert set(read_tf_checkpoint(v1_path)) == set(arrays)
     assert read_tf_checkpoint(os.path.join(FIXDIR, "ref.ckpt"))
+
+
+def test_cache_seed_roundtrip(tmp_path, monkeypatch):
+    """Repo-committed compile-cache seeding (core/cache.py): entries in
+    SEED_DIR copy into a fresh cache dir exactly once; existing entries are
+    never overwritten (the live cache wins); non-cache files are ignored."""
+    import os
+
+    from gifgan_tpu.core import cache
+
+    seed = tmp_path / "seed"
+    seed.mkdir()
+    (seed / "jit_train_chunk-abc-cache").write_bytes(b"seeded")
+    (seed / "README.md").write_text("not a cache entry")
+    monkeypatch.setattr(cache, "SEED_DIR", str(seed))
+
+    live = tmp_path / "live"
+    assert cache.seed_cache_from_repo(str(live)) == 1
+    assert sorted(os.listdir(live)) == ["jit_train_chunk-abc-cache"]
+    # idempotent + never clobbers a newer live entry
+    (live / "jit_train_chunk-abc-cache").write_bytes(b"live-version")
+    assert cache.seed_cache_from_repo(str(live)) == 0
+    assert (live / "jit_train_chunk-abc-cache").read_bytes() == b"live-version"

@@ -12,7 +12,7 @@ from jax.sharding import PartitionSpec as P
 from gifgan_tpu.core.config import DCGANConfig, TrainConfig, VidGANConfig
 from gifgan_tpu.core.mesh import make_mesh
 from gifgan_tpu.parallel.sp import (folded_seq_sharding, make_sp_step,
-                                    shard_vid_batch)
+                                    shard_vid_batch, vid_d_sharding)
 from gifgan_tpu.train import vid as vid_train
 
 IMG = DCGANConfig(output_size=32, c_dim=1, z_dim=16, gf_dim=8, df_dim=8)
@@ -87,8 +87,12 @@ def test_sp_step_matches_single_device(key):
     mesh = make_mesh(data_parallel=2, seq_parallel=4)
     ts = _init_ts(key, tcfg)
     f_s, z_s = shard_vid_batch(mesh, jnp.asarray(frames), jnp.asarray(z))
+    # the vid-D layout wall (data-only folded acts) is the configuration
+    # the CLI/dryrun ship; parity with single-device pins it as a pure
+    # layout change
     step = make_sp_step(vid_train.train_step, mesh,
-                        static_args={"cfg": CFG, "tcfg": tcfg})
+                        static_args={"cfg": CFG, "tcfg": tcfg,
+                                     "fold_sharding": vid_d_sharding(mesh)})
     ts, m_sp = step(ts, f_s, z_s, rng)
     _assert_losses_match(m_ref, m_sp)
     # params stay replicated
@@ -150,7 +154,8 @@ def test_sp_composes_with_tp(key):
     f_s, z_s = shard_vid_batch(mesh, jnp.asarray(frames), jnp.asarray(z))
     step = make_sp_step(
         vid_train.train_step, mesh,
-        static_args={"cfg": CFG, "tcfg": tcfg},
+        static_args={"cfg": CFG, "tcfg": tcfg,
+                     "fold_sharding": vid_d_sharding(mesh)},
         state_shardings=vid_state_tp_shardings(mesh, ts))
     _, m_sp = step(ts, f_s, z_s, rng)
     _assert_losses_match(m_ref, m_sp, g_tol=2e-2)
