@@ -721,6 +721,58 @@ class DeviceHaarDetector:
     def detect_rects(self, gray: np.ndarray) -> np.ndarray:
         return self.detect_batch(np.asarray(gray)[None])[0]
 
+    def detect_clips(self, clips: List[np.ndarray], pad_multiple: int = 32,
+                     frame_bucket: int = 32) -> List[List[np.ndarray]]:
+        """N clips in ONE device program (round-2 verdict item 6).
+
+        Per-dispatch costs dominate the device backend on small clips
+        (~157 ms program + ~45 ms packed fetch per clip regardless of
+        size — TODO.md round-3 measurements), so on the realistic
+        ~100-200px distribution the per-clip path lost to host C++. This
+        amortizes them: every clip is letterbox-padded (bottom/right, black)
+        onto a common canvas, the frames of ALL clips stack on the batch
+        axis, and one dispatch evaluates everything. Canvas dims round up
+        to `pad_multiple` and the frame count to `frame_bucket` so repeat
+        calls with similar workloads reuse one compiled program.
+
+        clips: list of (T_i, H_i, W_i) float [0, 255] grayscale stacks.
+        Returns, per clip, T_i arrays of (M, 4) x,y,w,h rects — windows
+        extending into the padding are dropped (they straddle content and
+        black border). Detections are detectMultiScale-equivalent on the
+        padded canvas: scale planning follows the canvas size, so rects are
+        statistically (not bit-) identical to per-clip detect_batch — same
+        contract as the device-vs-host parity (tests/test_haar_device.py).
+        """
+        if not clips:
+            return []
+        clips = [np.asarray(c) for c in clips]
+        rnd = lambda v, m: -(-int(v) // m) * m
+        ch = rnd(max(c.shape[1] for c in clips), pad_multiple)
+        cw = rnd(max(c.shape[2] for c in clips), pad_multiple)
+        total = sum(c.shape[0] for c in clips)
+        fb = rnd(total, frame_bucket)
+        stack = np.zeros((fb, ch, cw), np.float64)
+        row = 0
+        for c in clips:
+            stack[row:row + c.shape[0], :c.shape[1], :c.shape[2]] = c
+            row += c.shape[0]
+        per_frame = self.detect_batch(stack)
+        out: List[List[np.ndarray]] = []
+        row = 0
+        for c in clips:
+            t_i, h_i, w_i = c.shape
+            frames = []
+            for rects in per_frame[row:row + t_i]:
+                if len(rects):
+                    keep = ((rects[:, 0] >= 0) & (rects[:, 1] >= 0)
+                            & (rects[:, 0] + rects[:, 2] <= w_i)
+                            & (rects[:, 1] + rects[:, 3] <= h_i))
+                    rects = rects[keep]
+                frames.append(rects)
+            out.append(frames)
+            row += t_i
+        return out
+
     def detect_video(self, frames_rgb: np.ndarray):
         from gifgan_tpu.track.boxes import Detection
 

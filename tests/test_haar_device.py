@@ -170,3 +170,38 @@ def test_cpp_pyramid_finisher_matches_numpy_fallback(monkeypatch):
     assert d_numpy._native is None
     for a, b in zip(r_native, r_numpy):
         assert np.array_equal(a, b), (a, b)
+
+
+@needs_data
+def test_detect_clips_batched_agrees_with_per_clip():
+    """detect_clips (N letterbox-padded clips, ONE device program — round-2
+    verdict item 6): per-clip structure comes back intact and the primary
+    detections agree with per-clip detect_batch (statistical parity, same
+    contract as device-vs-host: scale planning follows the padded canvas)."""
+    dd = DeviceHaarDetector(_cascade_path(), min_neighbors=2, min_size=20)
+    big = _load_clip(t=3, rep=2)      # (3, 128, 128)
+    small = _load_clip(t=2, rep=2)[:, :96, :112]   # different size + T
+    batched = dd.detect_clips([big, small])
+    assert len(batched) == 2
+    assert len(batched[0]) == 3 and len(batched[1]) == 2
+
+    solo = dd.detect_batch(big)
+    # the padded canvas equals the big clip's own canvas here (128x128 is
+    # already the bucket), so the big clip's primary boxes must agree
+    for fr in range(3):
+        rb, rs = batched[0][fr], solo[fr]
+        assert (len(rb) > 0) == (len(rs) > 0)
+        if len(rb):
+            b = rb[np.argmax(rb[:, 2] * rb[:, 3])]
+            s = rs[np.argmax(rs[:, 2] * rs[:, 3])]
+            x0, y0 = max(b[0], s[0]), max(b[1], s[1])
+            x1 = min(b[0] + b[2], s[0] + s[2])
+            y1 = min(b[1] + b[3], s[1] + s[3])
+            inter = max(0, x1 - x0) * max(0, y1 - y0)
+            union = b[2] * b[3] + s[2] * s[3] - inter
+            assert inter / union > 0.6
+    # rects never extend past each clip's own bounds (pad region filtered)
+    for frames, (h_i, w_i) in zip(batched, ((128, 128), (96, 112))):
+        for rects in frames:
+            for x, y, w, h in rects:
+                assert x >= 0 and y >= 0 and x + w <= w_i and y + h <= h_i
