@@ -59,14 +59,29 @@ def main(path):
         print("| " + " | ".join(row) + " |")
 
     if evals:
+        has_fad = any(e.get("fad") is not None for e in evals)
         print(f"\n## Face-track-rate trend (quality proxy)\n")
-        print("| step | tracked/total | rate |")
-        print("|---|---|---|")
+        print("| step | tracked/total | rate |" + (" FAD |" if has_fad else ""))
+        print("|---|---|---|" + ("---|" if has_fad else ""))
         for e in evals:
             tag = " (final, 256 clips)" if e["kind"] == "final_eval" else ""
-            print(f"| {e['step']:,}{tag} | {e['tracked']}/{e['total']} "
-                  f"| {e['rate']:.2f} |" if e.get("rate") is not None else
-                  f"| {e['step']:,}{tag} | skipped | - |")
+            fad = (f" {e['fad']:.2f} |" if has_fad and
+                   e.get("fad") is not None else (" - |" if has_fad else ""))
+            print((f"| {e['step']:,}{tag} | {e['tracked']}/{e['total']} "
+                   f"| {e['rate']:.2f} |" if e.get("rate") is not None else
+                   f"| {e['step']:,}{tag} | skipped | - |") + fad)
+
+    events = [r for r in recs if r.get("kind") == "auto_intervention"]
+    if events:
+        print(f"\n## Collapse-controller interventions "
+              f"(train/controller.py, --auto-intervene)\n")
+        print("| step | action | d_loss at trigger | noise std | "
+              "D-lr scale |")
+        print("|---|---|---|---|---|")
+        for e in events:
+            print(f"| {e['step']:,} | {e['action']} | "
+                  f"{e['d_loss']:.2g} | {e['image_noise_std']} | "
+                  f"{e['d_lr_scale']} |")
 
     print(f"\n## Event log\n")
     for s in starts:
