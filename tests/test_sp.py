@@ -159,3 +159,55 @@ def test_sp_composes_with_tp(key):
         state_shardings=vid_state_tp_shardings(mesh, ts))
     _, m_sp = step(ts, f_s, z_s, rng)
     _assert_losses_match(m_ref, m_sp, g_tol=2e-2)
+
+
+def test_sp_chunk_knobs_parity_and_live(key):
+    """make_sp_step(pass_knobs=True): the collapse controller's traced
+    Knobs ride the sequence-parallel chunked step (the --seq-parallel
+    --auto-intervene CLI configuration). Knobs at the cfg's own values must
+    match the cfg-baked SP program bit-for-bit; changed values must move
+    the dynamics through the SAME wrapped callable."""
+    tcfg = TrainConfig(batch_size=2, gen_updates=1)
+    K = 2
+    frames = np.tanh(np.random.default_rng(0).standard_normal(
+        (K, 2 * CFG.vid_length, 32, 32, 1))).astype(np.float32)
+    z = np.random.default_rng(1).uniform(-1, 1, (K, 2, 20)).astype(np.float32)
+    rng = jax.random.PRNGKey(5)
+
+    mesh = make_mesh(data_parallel=2, seq_parallel=4)
+    static = {"cfg": CFG, "tcfg": tcfg,
+              "fold_sharding": vid_d_sharding(mesh)}
+    place = lambda: shard_vid_batch(mesh, jnp.asarray(frames),
+                                    jnp.asarray(z), batch_axis=1)
+
+    baked = make_sp_step(vid_train.train_chunk, mesh, static_args=static,
+                         batch_axis=1)
+    f_s, z_s = place()
+    ts1, m1 = baked(_init_ts(key, tcfg), f_s, z_s, rng)
+
+    stepk = make_sp_step(vid_train.train_chunk, mesh, static_args=static,
+                         batch_axis=1, pass_knobs=True)
+    f_s, z_s = place()
+    ts2, m2 = stepk(_init_ts(key, tcfg), f_s, z_s, rng,
+                    vid_train.make_knobs(CFG))
+    for k in m1:
+        np.testing.assert_array_equal(np.asarray(jax.device_get(m1[k])),
+                                      np.asarray(jax.device_get(m2[k])),
+                                      err_msg=k)
+    # metrics are bit-equal above; params admit 1-2 ulp — the traced-knob
+    # graph (live noise ops + update scale) compiles with different fusion
+    # / collective-reduction orderings on the SP mesh than the baked one,
+    # unlike the DP mesh where the same check holds bit-exact
+    # (test_sharding.py test_sharded_chunk_knobs_parity_and_live)
+    for a, b in zip(jax.tree_util.tree_leaves(ts1.params),
+                    jax.tree_util.tree_leaves(ts2.params)):
+        np.testing.assert_allclose(np.asarray(jax.device_get(a)),
+                                   np.asarray(jax.device_get(b)),
+                                   rtol=1e-6, atol=1e-9)
+
+    hot = vid_train.make_knobs(CFG, image_noise_std=0.5,
+                               activation_noise_std=0.5, d_lr_scale=0.5)
+    f_s, z_s = place()
+    _, m3 = stepk(_init_ts(key, tcfg), f_s, z_s, rng, hot)
+    assert (float(np.asarray(jax.device_get(m3["d_loss"]))[-1]) !=
+            float(np.asarray(jax.device_get(m2["d_loss"]))[-1]))
