@@ -185,7 +185,10 @@ class SurveyServer:
             with open(self.responses_path) as f:
                 for line in f:
                     if line.strip():
-                        out.append(json.loads(line))
+                        try:
+                            out.append(json.loads(line))
+                        except ValueError:
+                            continue  # torn tail from a crash mid-append
         return out
 
     def results(self) -> Dict:
