@@ -85,8 +85,17 @@ def main():
                                        calib_batch_size=args.batch)
     t_s = measure(lambda: sample_q(qs, z, cfg), "int8 static-calib")
 
+    # mixed precision: tanh output layer kept f32 (the quality-preserving
+    # serving variant, docs/SERVING.md — that layer is lane-padded to ~7%
+    # MXU peak either way, so the expected cost is small)
+    qf, _ = vid_train.quantize_sampler(ts, cfg, calib_batches=2,
+                                       calib_batch_size=args.batch,
+                                       float_last=True)
+    t_fl = measure(lambda: sample_q(qf, z, cfg), "int8 calib float-last")
+
     print(f"int8 speedup: dynamic {t_f / t_q:.2f}x, "
-          f"static {t_f / t_s:.2f}x")
+          f"static {t_f / t_s:.2f}x, "
+          f"static float-last {t_f / t_fl:.2f}x")
 
 
 if __name__ == "__main__":

@@ -38,6 +38,16 @@ def main():
     ap.add_argument("--dtype", default="bfloat16",
                     help="float-path compute dtype (float32 on CPU)")
     ap.add_argument("--cascade", default=None)
+    ap.add_argument("--calib-batches", type=int, default=0,
+                    help="static activation calibration batches for the "
+                         "int8 path (0 = dynamic per-layer max, the "
+                         "default serving variant)")
+    ap.add_argument("--float-last", action="store_true",
+                    help="keep the tanh output layer in f32 "
+                         "(mixed-precision int8; ops/quant.py float_last)")
+    ap.add_argument("--float-layers", default="",
+                    help="comma-separated layers to keep f32, e.g. "
+                         "'vid/lin3,img/h0_lin' (mixed-precision ablation)")
     ap.add_argument("--json", default=None, help="also write results here")
     args = ap.parse_args()
 
@@ -81,7 +91,11 @@ def main():
                                     TrainConfig(batch_size=args.batch))
     ts = vid_train.VidTrainState(**ckpt.restore(args.checkpoint,
                                                 ts._asdict()))
-    q, sample_q = vid_train.quantize_sampler(ts, cfg)
+    float_layers = tuple(s for s in args.float_layers.split(",") if s)
+    q, sample_q = vid_train.quantize_sampler(
+        ts, cfg, calib_batches=args.calib_batches,
+        calib_batch_size=args.batch, float_last=args.float_last,
+        float_layers=float_layers)
 
     def to_u8(v):
         return np.asarray(jnp.clip((v + 1.0) * 127.5, 0, 255)).astype(
@@ -156,6 +170,11 @@ def main():
         "track_rate_int8": round(tr_q / tot, 4) if detector else None,
         "checkpoint": args.checkpoint,
         "dtype_float_path": args.dtype,
+        "int8_variant": (f"static-calib x{args.calib_batches}"
+                         if args.calib_batches else "dynamic")
+                        + (" + float-last" if args.float_last else "")
+                        + (f" + float[{args.float_layers}]"
+                           if float_layers else ""),
     }
     print(json.dumps(out))
     if args.json:

@@ -307,7 +307,8 @@ def _load_vid_sampler(args):
 
     if getattr(args, "int8", False):
         tree, base_fn = vid_train.quantize_sampler(
-            ts, cfg, calib_batches=getattr(args, "int8_calib", 0))
+            ts, cfg, calib_batches=getattr(args, "int8_calib", 0),
+            float_last=getattr(args, "int8_float_last", False))
     else:
         tree, base_fn = ts, vid_train.sample_videos
     return _finish_vid_sampler(args, cfg, tree, base_fn)
@@ -375,12 +376,14 @@ def cmd_quantize_export(args):
 
     cfg, ts = _load_vid_train_state(args.checkpoint)
     q, _ = vid_train.quantize_sampler(ts, cfg,
-                                      calib_batches=args.calib_batches)
+                                      calib_batches=args.calib_batches,
+                                      float_last=args.float_last)
     path = quant.save_artifact(args.out_dir, q, cfg)
     n_bytes = sum(os.path.getsize(os.path.join(root, f))
                   for root, _, fs in os.walk(args.out_dir) for f in fs)
     print(f"int8 artifact written to {path} ({n_bytes / 1e6:.1f} MB, "
-          f"calib_batches={args.calib_batches})")
+          f"calib_batches={args.calib_batches}, "
+          f"float_last={args.float_last})")
 
 
 def cmd_make_paths(args):
@@ -715,7 +718,9 @@ def cmd_explorer(args):
 
         from gifgan_tpu.ops import quant
 
-        q = quant.quantize_image_generator(params.generator, state.generator)
+        q = quant.quantize_image_generator(
+            params.generator, state.generator,
+            float_last=getattr(args, "int8_float_last", False))
         if args.int8_calib:
             zs = [np.random.default_rng(i).uniform(
                       -1, 1, (args.batch_size, cfg.z_dim)).astype(np.float32)
@@ -1026,6 +1031,12 @@ def main(argv=None):
                         "N calibration batches (skips the per-layer "
                         "dynamic max reduce; inputs beyond the calibrated "
                         "range clip)")
+    p.add_argument("--int8-float-last", action="store_true",
+                   help="with --int8: keep the tanh output layer in f32 "
+                        "(mixed precision — quality-neutral on trained "
+                        "checkpoints where full-int8 moves the track-rate; "
+                        "the layer is lane-padded to 7%% MXU peak anyway, "
+                        "docs/SERVING.md)")
     p.add_argument("--quantized", action="store_true",
                    help="--checkpoint points at a quantize-export int8 "
                         "artifact instead of a train run")
@@ -1044,6 +1055,9 @@ def main(argv=None):
     p.add_argument("--out-dir", required=True)
     p.add_argument("--calib-batches", type=int, default=0,
                    help="bake static activation scales from N batches")
+    p.add_argument("--float-last", action="store_true",
+                   help="keep the tanh output layer in f32 (mixed "
+                        "precision; see sample-wall --int8-float-last)")
     p.set_defaults(fn=cmd_quantize_export)
 
     p = sub.add_parser("track", help="face-track preprocessing over a dir")
@@ -1200,6 +1214,9 @@ def main(argv=None):
     p.add_argument("--int8-calib", type=int, default=0,
                    help="with --int8: static activation scales from N "
                         "calibration batches")
+    p.add_argument("--int8-float-last", action="store_true",
+                   help="with --int8: keep the tanh output layer in f32 "
+                        "(mixed precision, docs/SERVING.md)")
     _add_tls_args(p)
     p.set_defaults(fn=cmd_explorer)
 

@@ -127,8 +127,18 @@ def _dequant(acc: Array, s_x: Array, q: Dict) -> Array:
     return y + q["b"]
 
 
+def _is_q(layer: Dict) -> bool:
+    """True for an int8 layer ({'wq','ws','b'}), False for a float
+    ({'w','b'}) layer in a mixed-precision serving tree. Tree structure is
+    static under jit, so this branches at trace time."""
+    return "wq" in layer
+
+
 def qlinear(q: Dict, x: Array, obs=None, key: str = None) -> Array:
-    """int8 counterpart of nn.linear (w layout (in, out), out_axis=1)."""
+    """int8 counterpart of nn.linear (w layout (in, out), out_axis=1).
+    Float layers in a mixed-precision tree run the plain f32 affine."""
+    if not _is_q(q):
+        return jnp.dot(x.astype(jnp.float32), q["w"]) + q["b"]
     xq, s_x = _act(x, q, obs, key)
     acc = jax.lax.dot_general(xq, q["wq"],
                               (((1,), (0,)), ((), ())),
@@ -153,8 +163,12 @@ def qdeconv2d(q: Dict, x: Array, stride: int = 2, obs=None,
 
     q holds the TF-layout (k, k, out, in) kernel quantized along axis 2;
     the flip/transpose to HWIO happens on the int8 tensor (a pure layout
-    permutation — quantization commutes with it).
+    permutation — quantization commutes with it). Float layers in a
+    mixed-precision tree run the f32 dilated deconv (ops/nn.py).
     """
+    if not _is_q(q):
+        return nn.deconv2d(q, x.astype(jnp.float32), stride=stride,
+                           dtype=jnp.float32)
     xq, s_x = _act(x, q, obs, key)
     w = q["wq"]
     k = w.shape[0]
@@ -185,26 +199,46 @@ def _tile_bn(d: Dict, reps: int) -> Dict:
     return {k: jnp.tile(v, reps) for k, v in d.items()}
 
 
-def quantize_image_generator(params: Dict, state: Dict) -> Dict:
+def _as_float_layer(folded: Dict) -> Dict:
+    return {"w": folded["w"].astype(jnp.float32),
+            "b": folded["b"].astype(jnp.float32)}
+
+
+def quantize_image_generator(params: Dict, state: Dict,
+                             float_last: bool = False,
+                             float_layers: Tuple[str, ...] = ()) -> Dict:
     """Float generator params + BN running state -> int8 serving params.
 
     bn{i} folds into the layer it normalizes: h0_lin -> bn0 (tiled over the
     s16 x s16 reshape positions), h{1..3}_deconv -> bn{1..3}; h4_deconv has
     no BN (tanh output). Deconv TF layout (k, k, out, in) quantizes along
     axis 2; linear along 1.
+
+    Mixed precision: layers named in `float_layers` (and h4_deconv when
+    float_last=True) stay f32 {'w','b'} — BN still folded — and the q
+    forwards dispatch per layer on the tree structure (_is_q). Useful when
+    a specific layer's quantization error moves a quality metric; on the
+    endurance-3 checkpoint the full-int8 path cost ~13 points of face
+    track-rate that no single-layer float carve-back recovered — the
+    documented recipe is docs/SERVING.md.
     """
+    fl = set(float_layers) | ({"h4_deconv"} if float_last else set())
     out_dim = params["h0_lin"]["w"].shape[1]
     reps = out_dim // params["bn0"]["scale"].shape[0]
+
+    def mk(name, folded, out_axis):
+        return (_as_float_layer(folded) if name in fl
+                else quantize_weight(folded, out_axis=out_axis))
+
     q = {
-        "h0_lin": quantize_weight(
-            fold_bn(params["h0_lin"], _tile_bn(params["bn0"], reps),
-                    _tile_bn(state["bn0"], reps), out_axis=1), out_axis=1),
-        "h4_deconv": quantize_weight(params["h4_deconv"], out_axis=2),
+        "h0_lin": mk("h0_lin",
+                     fold_bn(params["h0_lin"], _tile_bn(params["bn0"], reps),
+                             _tile_bn(state["bn0"], reps), out_axis=1), 1),
+        "h4_deconv": mk("h4_deconv", params["h4_deconv"], 2),
     }
     for i, name in enumerate(["h1_deconv", "h2_deconv", "h3_deconv"]):
-        q[name] = quantize_weight(
-            fold_bn(params[name], params[f"bn{i + 1}"],
-                    state[f"bn{i + 1}"], out_axis=2), out_axis=2)
+        q[name] = mk(name, fold_bn(params[name], params[f"bn{i + 1}"],
+                                   state[f"bn{i + 1}"], out_axis=2), 2)
     return q
 
 
@@ -227,20 +261,34 @@ def image_generator_q(q: Dict, z: Array, cfg: DCGANConfig,
 # model-level: VID_DCGAN serving stack (vid-G MLP + nested image G)
 # ---------------------------------------------------------------------------
 
-def quantize_vid_stack(params, state) -> Dict:
+def quantize_vid_stack(params, state, float_last: bool = False,
+                       float_layers: Tuple[str, ...] = ()) -> Dict:
     """VidGANParams/VidGANState (models/vid_dcgan.py) -> int8 serving tree
     covering the full generate_videos forward (z_model_lib.py:353-382 MLP
-    composed with the frozen image generator)."""
+    composed with the frozen image generator).
+
+    float_last keeps the image generator's tanh output layer in f32;
+    float_layers names layers to keep f32 as "vid/lin0" / "img/h1_deconv"
+    (see quantize_image_generator)."""
+    fl = set(float_layers)
+    vid_fl = {n.split("/", 1)[1] for n in fl if n.startswith("vid/")}
+    img_fl = tuple(n.split("/", 1)[1] for n in fl if n.startswith("img/"))
     vg, vs = params.vid_generator, state.vid_generator
-    qvid = {"lin3": quantize_weight(vg["lin3"], out_axis=1)}
+
+    def mk(name, folded):
+        return (_as_float_layer(folded) if name in vid_fl
+                else quantize_weight(folded, out_axis=1))
+
+    qvid = {"lin3": mk("lin3", vg["lin3"])}
     for i in range(3):
-        qvid[f"lin{i}"] = quantize_weight(
-            fold_bn(vg[f"lin{i}"], vg[f"bn{i}"], vs[f"bn{i}"], out_axis=1),
-            out_axis=1)
+        qvid[f"lin{i}"] = mk(f"lin{i}", fold_bn(vg[f"lin{i}"], vg[f"bn{i}"],
+                                                vs[f"bn{i}"], out_axis=1))
     return {
         "vid": qvid,
         "img": quantize_image_generator(params.img_generator,
-                                        state.img_generator),
+                                        state.img_generator,
+                                        float_last=float_last,
+                                        float_layers=img_fl),
     }
 
 

@@ -306,7 +306,8 @@ def load_image_gan(ts: VidTrainState, ckpt_dir: str, step=None) -> VidTrainState
 
 def quantize_sampler(ts: VidTrainState, cfg: VidGANConfig,
                      calib_batches: int = 0, calib_batch_size: int = 64,
-                     calib_key=None):
+                     calib_key=None, float_last: bool = False,
+                     float_layers=()):
     """int8 serving sampler: quantize the frozen generator stack once
     (ops/quant.py — BN folded, per-channel int8 weights) and return
     (qtree, jitted fn(qtree, z) -> (B, T, s, s, c)).
@@ -321,7 +322,8 @@ def quantize_sampler(ts: VidTrainState, cfg: VidGANConfig,
     """
     from gifgan_tpu.ops import quant
 
-    q = quant.quantize_vid_stack(ts.params, ts.state)
+    q = quant.quantize_vid_stack(ts.params, ts.state, float_last=float_last,
+                                 float_layers=float_layers)
     if calib_batches > 0:
         key = calib_key if calib_key is not None else jax.random.PRNGKey(11)
         zs = [jax.random.uniform(jax.random.fold_in(key, i),

@@ -314,3 +314,66 @@ def test_quantize_sampler_calibrated(key):
     vids = sample_q(q, z, cfg)
     assert vids.shape == (4, 4, 32, 32, 1)
     assert np.isfinite(np.asarray(vids)).all()
+
+
+def test_float_last_mixed_precision(key):
+    """float_last keeps the tanh output layer in f32: the tree ships a
+    float {'w','b'} h4_deconv (no 'wq'), the mixed forward tracks the float
+    oracle at least as closely as full-int8 (the last layer's quantization
+    error lands directly on output pixels — on the endurance-3 checkpoint
+    it moved the face track-rate, docs/SERVING.md), and calibration leaves
+    the float layer scale-free."""
+    cfg = DCGANConfig(output_size=32, c_dim=3, z_dim=25,
+                      gf_dim=16, compute_dtype="float32")
+    params, state = _boosted_image_gan(key, cfg)
+    z = jax.random.uniform(jax.random.PRNGKey(2), (16, cfg.z_dim),
+                           minval=-1, maxval=1)
+    want, _ = dcgan.generator(params, state, z, cfg, train=False)
+
+    q_int8 = quant.quantize_image_generator(params, state)
+    q_fl = quant.quantize_image_generator(params, state, float_last=True)
+
+    assert "wq" not in q_fl["h4_deconv"]
+    assert q_fl["h4_deconv"]["w"].dtype == jnp.float32
+    assert "wq" in q_fl["h3_deconv"]  # everything else still int8
+
+    fwd = jax.jit(quant.image_generator_q, static_argnames="cfg")
+    w = np.asarray(want, np.float64)
+    mae_int8 = np.abs(w - np.asarray(fwd(q_int8, z, cfg), np.float64)).mean()
+    got_fl = np.asarray(fwd(q_fl, z, cfg), np.float64)
+    mae_fl = np.abs(w - got_fl).mean()
+    assert mae_fl <= mae_int8 + 1e-6, (mae_fl, mae_int8)
+    assert np.corrcoef(w.ravel(), got_fl.ravel())[0, 1] > 0.995
+
+    # static calibration: every int8 layer gains a scale, the float layer
+    # stays scale-free, and the calibrated forward still runs
+    zs = [jax.random.uniform(jax.random.PRNGKey(i), (8, cfg.z_dim),
+                             minval=-1, maxval=1) for i in range(2)]
+    qs = quant.calibrate_image_generator(q_fl, zs, cfg)
+    assert "as" not in qs["h4_deconv"]
+    assert all("as" in qs[n] for n in
+               ("h0_lin", "h1_deconv", "h2_deconv", "h3_deconv"))
+    assert np.isfinite(np.asarray(fwd(qs, z, cfg))).all()
+
+
+def test_float_last_artifact_roundtrip(key, tmp_path):
+    """A float_last serving tree survives the save_artifact/load_artifact
+    pure-dict rebuild: structure (float h4, int8 rest) and forward output
+    are preserved exactly."""
+    from gifgan_tpu.core.config import TrainConfig
+    from gifgan_tpu.train import vid as vid_train
+
+    img = DCGANConfig(output_size=32, c_dim=1, z_dim=16, gf_dim=16)
+    cfg = VidGANConfig(z_input_size=20, z_output_size=16, vid_length=4,
+                       hidden_dim=32, image_gan=img)
+    ts = vid_train.init_train_state(key, cfg, TrainConfig(batch_size=4))
+    q, sample_q = vid_train.quantize_sampler(ts, cfg, float_last=True)
+    quant.save_artifact(str(tmp_path / "art"), q, cfg)
+    q2, cfg2 = quant.load_artifact(str(tmp_path / "art"))
+
+    assert "wq" not in q2["img"]["h4_deconv"]
+    assert q2["img"]["h3_deconv"]["wq"].dtype == jnp.int8
+    z = jax.random.uniform(jax.random.PRNGKey(1), (4, 20),
+                           minval=-1, maxval=1)
+    np.testing.assert_array_equal(np.asarray(sample_q(q, z, cfg)),
+                                  np.asarray(sample_q(q2, z, cfg2)))
