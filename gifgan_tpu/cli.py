@@ -480,7 +480,9 @@ def cmd_track(args):
                       detector_backend=args.detector_backend)
     stats = run_directory(args.input_directory, args.output_directory, cfg,
                           cascade_path=args.cascade,
-                          max_consecutive_errors=args.max_consecutive_errors)
+                          max_consecutive_errors=args.max_consecutive_errors,
+                          workers=args.workers,
+                          detect_batch_clips=args.detect_batch)
     print(stats.render_text())
 
 
@@ -1079,6 +1081,14 @@ def main(argv=None):
                    choices=["auto", "native", "device", "cv2", "python"],
                    help="Haar cascade backend (device = pyramid-packed "
                         "gather-free TPU cascade, track/haar_device.py)")
+    p.add_argument("--workers", type=int, default=1,
+                   help="thread-pool file concurrency (decode + native "
+                        "Haar release the GIL)")
+    p.add_argument("--detect-batch", type=int, default=1,
+                   help="with --detector-backend device: decode N files "
+                        "per group and detect them in ONE device dispatch "
+                        "(detect_clips — 1.80x the native detector at "
+                        "batch 8 on the realistic 128px distribution)")
     p.set_defaults(fn=cmd_track)
 
     p = sub.add_parser("make-paths", help="generate expression-path library")

@@ -69,19 +69,26 @@ def crop_and_resize_tracks(frames: np.ndarray, tracks: List[B.Track],
 
 def process_video(frames: np.ndarray, detector: Callable,
                   cfg: TrackConfig, stats: Optional[TrackStats] = None,
+                  per_frame: Optional[List[list]] = None,
                   ) -> List[np.ndarray]:
     """frames: (T, H, W, C) uint8 RGB. Returns a list of stabilized face
-    clips (each (t, target, target, C) uint8)."""
+    clips (each (t, target, target, C) uint8).
+
+    per_frame: precomputed per-frame Detection lists — skips stage 1.
+    run_directory's detect_batch_clips mode computes detections for N
+    clips in one device dispatch (DeviceHaarDetector.detect_clips) and
+    feeds them through here."""
     stats = stats if stats is not None else TrackStats()
     t, height, width = frames.shape[:3]
     frame_size = (width, height)
 
     # 1. detection — whole-clip batched when the detector supports it
     # (BatchedJaxHaarDetector.detect_video), else per frame
-    if hasattr(detector, "detect_video"):
-        per_frame = detector.detect_video(frames)
-    else:
-        per_frame = [detector(frames[i], i) for i in range(t)]
+    if per_frame is None:
+        if hasattr(detector, "detect_video"):
+            per_frame = detector.detect_video(frames)
+        else:
+            per_frame = [detector(frames[i], i) for i in range(t)]
     for dets in per_frame:
         stats.cnt_total_detections += len(dets)
 
@@ -147,7 +154,8 @@ def run_directory(input_dir: str, output_dir: str, cfg: TrackConfig,
                   max_consecutive_errors: int = 10,
                   dashboard_every_s: float = 15.0,
                   resume: bool = True,
-                  workers: int = 1) -> TrackStats:
+                  workers: int = 1,
+                  detect_batch_clips: int = 1) -> TrackStats:
     """Process every video in a directory with error isolation, dashboard
     refresh, params persistence, and idempotent resume.
 
@@ -156,7 +164,16 @@ def run_directory(input_dir: str, output_dir: str, cfg: TrackConfig,
     stats are accumulated locally and merged under a lock, so the combined
     output equals a sequential run up to file ordering — the in-process
     version of the reference's shard-by-hand + stat_combination.py scale-out
-    story (SURVEY.md §2.2)."""
+    story (SURVEY.md §2.2).
+
+    detect_batch_clips > 1 (device detector backend): decode that many
+    files per group and run ONE detection dispatch for the whole group
+    (DeviceHaarDetector.detect_clips — letterbox-packed canvas), then the
+    host stages per file. Amortizes the fixed ~200 ms/dispatch device
+    costs: measured 1.80x the native C++ detector on the realistic 128px
+    mturk distribution at batch 8 (BASELINE.md, 2026-08-19) where the
+    per-clip device path only reached 1.3x. Mutually exclusive with
+    workers > 1 (the device program is one serialized resource anyway)."""
     from gifgan_tpu.track.detect import default_detector
 
     os.makedirs(output_dir, exist_ok=True)
@@ -195,17 +212,22 @@ def run_directory(input_dir: str, output_dir: str, cfg: TrackConfig,
         else:
             todo.append(name)
 
-    def process_one(name):
+    def process_one(name, frames=None, per_frame=None, base_seconds=0.0):
         """Decode + track + write one file with a local stats object.
-        Returns (local_stats, ok, seconds)."""
+        Returns (local_stats, ok, seconds). frames/per_frame: pre-decoded
+        pixels and precomputed detections from the batched-detect path
+        (base_seconds carries that file's share of the group dispatch so
+        the dashboard's per-file histogram stays meaningful)."""
         local = TrackStats()
         base = os.path.splitext(name)[0]
-        t0 = time.time()
+        t0 = time.time() - base_seconds
         try:
-            frames = decode_fn(os.path.join(input_dir, name))
+            if frames is None:
+                frames = decode_fn(os.path.join(input_dir, name))
             if frames is None:
                 raise RuntimeError("decode failed")
-            clips = process_video(frames, detector, cfg, local)
+            clips = process_video(frames, detector, cfg, local,
+                                  per_frame=per_frame)
             from gifgan_tpu.data.video import encode_mp4
 
             for i, clip in enumerate(clips):
@@ -237,7 +259,58 @@ def run_directory(input_dir: str, output_dir: str, cfg: TrackConfig,
                 stats.write(output_dir, params)
                 last_dash = time.time()
 
-    if workers <= 1:
+    if detect_batch_clips > 1 and hasattr(detector, "detect_clips"):
+        if workers > 1:
+            raise ValueError("detect_batch_clips and workers>1 are mutually "
+                             "exclusive (one device program serializes "
+                             "detection anyway)")
+        from gifgan_tpu.track.boxes import Detection
+
+        i = 0
+        while i < len(todo) and not abort:
+            group = todo[i:i + detect_batch_clips]
+            i += len(group)
+            decoded = []  # decode failures stay per-file isolated
+            for name in group:
+                try:
+                    frames = decode_fn(os.path.join(input_dir, name))
+                    if frames is None:
+                        raise RuntimeError("decode failed")
+                    decoded.append((name, frames))
+                except Exception:
+                    local = TrackStats()
+                    local.cnt_files_errored += 1
+                    traceback.print_exc()
+                    consume((local, False, 0.0))
+                    if abort:
+                        break
+            if abort or not decoded:
+                continue
+            grays = [np.dot(f[..., :3].astype(np.float64),
+                            [0.299, 0.587, 0.114])
+                     if f.ndim == 4 and f.shape[-1] >= 3
+                     else np.asarray(f, np.float64)[..., 0]
+                     if f.ndim == 4 else np.asarray(f, np.float64)
+                     for _, f in decoded]
+            t0 = time.time()
+            try:
+                group_rects = detector.detect_clips(grays)
+            except Exception:
+                # batched dispatch failed (e.g. canvas over the integral-
+                # image precision bound): fall back to per-clip detection
+                # inside process_one — same results, no amortization
+                traceback.print_exc()
+                group_rects = [None] * len(decoded)
+            share = (time.time() - t0) / len(decoded)
+            for (name, frames), clip_rects in zip(decoded, group_rects):
+                pf = None if clip_rects is None else [
+                    [Detection.from_rect(r, fi) for r in fr]
+                    for fi, fr in enumerate(clip_rects)]
+                consume(process_one(name, frames=frames, per_frame=pf,
+                                    base_seconds=share))
+                if abort:
+                    break
+    elif workers <= 1:
         for name in todo:
             consume(process_one(name))
             if abort:

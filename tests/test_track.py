@@ -241,3 +241,57 @@ def test_run_directory_parallel_matches_sequential(tmp_path):
     seq_files = sorted(f for f in os.listdir(out_seq) if f.endswith(".mp4"))
     par_files = sorted(f for f in os.listdir(out_par) if f.endswith(".mp4"))
     assert seq_files == par_files
+
+
+def test_run_directory_batched_detect_matches_sequential(tmp_path):
+    """detect_batch_clips groups N files into one detect_clips call; the
+    crops and stats must equal the per-file path. The fake detector's
+    detect_clips mirrors DeviceHaarDetector's contract (per clip, per
+    frame, (M, 4) x,y,w,h rects) and counts its dispatches to prove the
+    grouping actually batches."""
+    from gifgan_tpu.data.video import encode_mp4
+    from gifgan_tpu.track.pipeline import run_directory
+
+    frames, boxes = _make_square_video()
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i in range(5):
+        encode_mp4(str(in_dir / f"v{i}.mp4"), frames)
+
+    def rects_for(i):
+        if i % 5 == 0:
+            x, y, w, h = boxes[i]
+            return np.array([[x, y, w, h]], np.int64)
+        return np.zeros((0, 4), np.int64)
+
+    class FakeDeviceDetector:
+        dispatches = 0
+
+        def __call__(self, frame, i=0):
+            return [Detection.from_rect(r, i) for r in rects_for(i)]
+
+        def detect_clips(self, grays):
+            FakeDeviceDetector.dispatches += 1
+            return [[rects_for(i) for i in range(g.shape[0])]
+                    for g in grays]
+
+    cfg = TrackConfig(min_frame_count=10, min_total_detections=3,
+                      target_size=32, max_corners=50)
+    det = FakeDeviceDetector()
+    s1 = run_directory(str(in_dir), str(tmp_path / "seq"), cfg, detector=det,
+                       workers=1)
+    assert FakeDeviceDetector.dispatches == 0  # plain path never batches
+    s2 = run_directory(str(in_dir), str(tmp_path / "bat"), cfg, detector=det,
+                       detect_batch_clips=2)
+    assert FakeDeviceDetector.dispatches == 3  # ceil(5 / 2) groups
+    assert s1.cnt_files_processed == s2.cnt_files_processed == 5
+    assert s1.cnt_final_tracks == s2.cnt_final_tracks == 5
+    seq = sorted(f for f in os.listdir(tmp_path / "seq")
+                 if f.endswith(".mp4"))
+    bat = sorted(f for f in os.listdir(tmp_path / "bat")
+                 if f.endswith(".mp4"))
+    assert seq == bat
+
+    with pytest.raises(ValueError):
+        run_directory(str(in_dir), str(tmp_path / "x"), cfg, detector=det,
+                      workers=2, detect_batch_clips=2, resume=False)
