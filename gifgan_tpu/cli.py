@@ -291,12 +291,13 @@ def _load_vid_sampler(args):
     from gifgan_tpu.train import vid as vid_train
 
     if getattr(args, "quantized", False):
-        if getattr(args, "int8", False) or getattr(args, "int8_calib", 0):
+        if (getattr(args, "int8", False) or getattr(args, "int8_calib", 0)
+                or getattr(args, "int8_float_last", False)):
             raise SystemExit(
                 "--quantized loads a pre-quantized artifact; --int8/"
-                "--int8-calib apply when quantizing from a float run — "
-                "re-export with `quantize-export --calib-batches N` to "
-                "change calibration")
+                "--int8-calib/--int8-float-last apply when quantizing from "
+                "a float run — re-export with `quantize-export "
+                "--calib-batches N [--float-last]` to change variants")
         from gifgan_tpu.ops import quant
 
         q, cfg = quant.load_artifact(args.checkpoint)
