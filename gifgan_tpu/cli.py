@@ -252,7 +252,8 @@ def cmd_train_recurrent(args):
         share_disc_conv=args.share_disc_conv,
         pixel_loss_scalar=args.pixel_loss_scalar,
         residual_prediction=args.residual_prediction,
-        adversarial_after_steps=args.adversarial_after_steps)
+        adversarial_after_steps=args.adversarial_after_steps,
+        adversarial_loss_scalar=args.adversarial_loss_scalar)
 
     if args.dataset == "synthetic":
         from gifgan_tpu.data.synthetic import synthetic_clips
@@ -1010,6 +1011,9 @@ def main(argv=None):
                    help="predict the frame delta (deviation; see config)")
     p.add_argument("--adversarial-after-steps", type=int, default=0,
                    help="pixel-only G warm-up until this step (deviation)")
+    p.add_argument("--adversarial-loss-scalar", type=float, default=1.0,
+                   help="weight on G's adversarial term once active "
+                        "(deviation; reference hard-codes 1.0)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--device-corpus", action="store_true",
                    help="keep the uint8 clip corpus resident in HBM and "

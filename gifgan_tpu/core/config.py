@@ -86,6 +86,11 @@ class RecurrentImageConfig:
     # this step (pixel-only warm-up; D still trains throughout so it is
     # ready when the joint phase starts). 0 = adversarial from step 0.
     adversarial_after_steps: int = 0
+    # DEVIATION: weight on G's adversarial term once active (the reference
+    # hard-codes 1.0, recurrent_DCGAN.py:294-298). Round-2 measured full
+    # weight trading held-out MAE 0.0095 -> 0.0255 after the warm-up
+    # (docs/E2E_RESULTS.md); this is the tuning lever for that trade.
+    adversarial_loss_scalar: float = 1.0
     compute_dtype: str = "float32"
 
 

@@ -82,6 +82,7 @@ def train_step(ts: RecurrentTrainState, clips: Array, rng,
             pix = jnp.mean(jnp.abs(fake - y))
             adv_w = jnp.where(ts.step >= cfg.adversarial_after_steps,
                               1.0, 0.0) if cfg.adversarial_after_steps else 1.0
+            adv_w = adv_w * cfg.adversarial_loss_scalar
             return adv_w * adv + cfg.pixel_loss_scalar * pix, (adv, pix)
 
         (g_loss, (adv, pix)), grads = jax.value_and_grad(

@@ -153,3 +153,50 @@ def test_pixel_loss_and_residual_modes():
     ts, m = rt.train_step(ts, clips, jax.random.PRNGKey(1), cfg, tcfg)
     assert "pixel_mae" in m and np.isfinite(float(m["pixel_mae"]))
     assert float(m["g_loss"]) > float(m["g_loss_adv"])  # pixel term active
+
+
+def test_adversarial_loss_scalar_weights_active_phase():
+    """adversarial_loss_scalar weights G's adversarial term once the
+    curriculum gate opens: with the gate open, g_loss equals
+    scale*adv + pixel_scale*pixel_mae; scale 0 reduces to the pure pixel
+    objective (the lever behind examples/recurrent_adv_study.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gifgan_tpu.core.config import RecurrentImageConfig, TrainConfig
+    from gifgan_tpu.data.synthetic import synthetic_clips
+    from gifgan_tpu.train import recurrent as rt
+
+    tcfg = TrainConfig(batch_size=4, gen_updates=1)
+    clips = jnp.asarray(
+        synthetic_clips(4, length=5, size=32).astype(np.float32) / 255.0)
+
+    losses = {}
+    for scale in (0.0, 0.25, 1.0):
+        cfg = RecurrentImageConfig(image_size=32, c_dim=3, seq_length=4,
+                                   base_filters=8, lstm_units=32,
+                                   pixel_loss_scalar=10.0,
+                                   adversarial_after_steps=0,
+                                   adversarial_loss_scalar=scale)
+        ts = rt.init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+        _, m = rt.train_step(ts, clips, jax.random.PRNGKey(1), cfg, tcfg)
+        losses[scale] = m
+        np.testing.assert_allclose(
+            float(m["g_loss"]),
+            scale * float(m["g_loss_adv"]) + 10.0 * float(m["pixel_mae"]),
+            rtol=1e-5)
+    # same init/data: first-G-update adv and pixel components match across
+    # scales (D's update precedes G's and is scale-independent)
+    np.testing.assert_allclose(float(losses[0.0]["g_loss_adv"]),
+                               float(losses[1.0]["g_loss_adv"]), rtol=1e-5)
+
+    # gate still closed (step 0 < after=5): scale contributes nothing
+    cfg_gated = RecurrentImageConfig(image_size=32, c_dim=3, seq_length=4,
+                                     base_filters=8, lstm_units=32,
+                                     pixel_loss_scalar=10.0,
+                                     adversarial_after_steps=5,
+                                     adversarial_loss_scalar=1.0)
+    ts = rt.init_train_state(jax.random.PRNGKey(0), cfg_gated, tcfg)
+    _, m = rt.train_step(ts, clips, jax.random.PRNGKey(1), cfg_gated, tcfg)
+    np.testing.assert_allclose(float(m["g_loss"]),
+                               10.0 * float(m["pixel_mae"]), rtol=1e-5)
