@@ -1013,7 +1013,11 @@ def main(argv=None):
                    help="pixel-only G warm-up until this step (deviation)")
     p.add_argument("--adversarial-loss-scalar", type=float, default=1.0,
                    help="weight on G's adversarial term once active "
-                        "(deviation; reference hard-codes 1.0)")
+                        "(deviation; reference hard-codes 1.0 — the measured "
+                        "trade-off curve in docs/recurrent_adv_study.json "
+                        "puts the sweet spot at 0.03: real-level sharpness "
+                        "at zero held-out-MAE cost, vs 1.0's 21%% MAE "
+                        "penalty and 1.7x over-sharpening)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--device-corpus", action="store_true",
                    help="keep the uint8 clip corpus resident in HBM and "
