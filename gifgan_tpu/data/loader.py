@@ -25,39 +25,85 @@ import jax
 import numpy as np
 
 
+_DONE = object()
+
+
+def _prefetch_worker(batch_iter, q, device_put, stop, err_box):
+    """Free function on purpose: a bound-method target would make the worker
+    thread hold a strong reference to the loader, so an abandoned loader
+    (early `break` in a train loop, a test taking one batch) could never be
+    garbage-collected and its worker would block on q.put forever. Leaked
+    workers from ~200 early-exiting loaders were alive during the heaviest
+    compile of the test suite when it segfaulted; every put is stop-aware
+    and bounded so close()/__del__ can always release the thread."""
+    try:
+        for batch in batch_iter:
+            if stop.is_set():
+                return
+            if device_put is not None:
+                batch = device_put(batch)
+            while not stop.is_set():
+                try:
+                    q.put(batch, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+            if stop.is_set():
+                return
+    except BaseException as e:  # surfaced on next()
+        err_box.append(e)
+    finally:
+        while not stop.is_set():
+            try:
+                q.put(_DONE, timeout=0.1)
+                break
+            except queue.Full:
+                continue
+
+
 class PrefetchLoader:
     """Wraps a batch-producing iterator; prefetches up to `depth` batches on
-    a worker thread and (optionally) places them with a sharding."""
+    a worker thread and (optionally) places them with a sharding. Call
+    `close()` (or just drop the object — `__del__` covers abandonment) when
+    breaking out before exhaustion, so the worker thread is released."""
 
     def __init__(self, batch_iter: Iterator, depth: int = 2,
                  device_put: Optional[Callable] = None):
-        self._iter = batch_iter
-        self._device_put = device_put
         self._q: queue.Queue = queue.Queue(maxsize=depth)
-        self._done = object()
-        self._err: Optional[BaseException] = None
-        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._stop = threading.Event()
+        self._err_box: list = []
+        self._thread = threading.Thread(
+            target=_prefetch_worker,
+            args=(batch_iter, self._q, device_put, self._stop,
+                  self._err_box),
+            daemon=True)
         self._thread.start()
 
-    def _worker(self):
+    def close(self):
+        """Stop the worker without draining the source iterator. Safe to
+        call multiple times, from __del__, or after normal exhaustion."""
+        self._stop.set()
         try:
-            for batch in self._iter:
-                if self._device_put is not None:
-                    batch = self._device_put(batch)
-                self._q.put(batch)
-        except BaseException as e:  # surfaced on next()
-            self._err = e
-        finally:
-            self._q.put(self._done)
+            while True:  # unblock a worker stuck in q.put
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=2.0)
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __iter__(self):
         return self
 
     def __next__(self):
         item = self._q.get()
-        if item is self._done:
-            if self._err is not None:
-                raise self._err
+        if item is _DONE:
+            if self._err_box:
+                raise self._err_box[0]
             raise StopIteration
         return item
 

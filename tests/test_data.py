@@ -106,6 +106,39 @@ def test_prefetch_loader_orders_and_propagates_errors():
         next(loader)
 
 
+def test_prefetch_loader_abandonment_releases_worker():
+    # An early break (steps_limit in the train loops, or a test taking one
+    # batch) abandons the loader mid-stream; the worker must not stay
+    # blocked on q.put forever holding batches. Regression for the
+    # full-suite segfault: ~200 leaked workers were alive during the
+    # suite's heaviest compile.
+    def infinite():
+        while True:
+            yield np.zeros((3, 4))
+
+    loader = PrefetchLoader(infinite(), depth=1)
+    next(loader)  # worker is now parked trying to put the next batch
+    thread = loader._thread
+    loader.close()
+    thread.join(timeout=5.0)
+    assert not thread.is_alive()
+
+    # __del__ covers consumers that never call close()
+    loader2 = PrefetchLoader(infinite(), depth=1)
+    next(loader2)
+    thread2 = loader2._thread
+    del loader2
+    thread2.join(timeout=5.0)
+    assert not thread2.is_alive()
+
+    # normal exhaustion still terminates cleanly and close() stays safe
+    fin = PrefetchLoader(batches_from_array(
+        np.arange(40).reshape(10, 4), batch_size=3, shuffle=False))
+    list(fin)
+    fin.close()
+    assert not fin._thread.is_alive()
+
+
 def test_scraper_keyword_parse_and_dedup(tmp_path):
     text = "tried1\ntried2\n# keywords not tried yet\nface\n\nsmile\n"
     assert scrape.parse_keywords(text) == ["face", "smile"]
