@@ -74,6 +74,21 @@ def parse_args():
                         "every eval (feature space = the FROZEN image-D, "
                         "stable across the run; 0 = off)")
     p.add_argument("--final-eval-clips", type=int, default=256)
+    p.add_argument("--early-stop-patience", type=int, default=0,
+                   help="stop the run after N consecutive periodic evals "
+                        "without a track-rate/FAD improvement (0 = train "
+                        "to the wall-clock budget). Evidence: run 3's "
+                        "quality ERODED past its peak and run 4 finished "
+                        "best at half the budget (docs/ENDURANCE.md)")
+    p.add_argument("--early-stop-warmup", type=int, default=3,
+                   help="never early-stop before this many evals total")
+    p.add_argument("--fad-tie-delta", type=float, default=0.0,
+                   help="FAD must drop by MORE than this to count as an "
+                        "improvement when the track-rate is tied (the "
+                        "run-4 regime saturates the proxy at 100%%)")
+    p.add_argument("--no-keep-best", action="store_true",
+                   help="disable snapshotting the best periodic eval's "
+                        "checkpoint to <run-dir>/checkpoints_best")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu) for smoke tests; "
                         "exported as GIFGAN_PLATFORM to the phase-0 "
@@ -258,6 +273,31 @@ def main():
         with open(log_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
+    # quality-plateau policy: tracks the best periodic eval (checkpoint
+    # snapshot) and, when --early-stop-patience > 0, ends the run once the
+    # track-rate/FAD evals stop improving (train/early_stop.py; the run-3/4
+    # evidence says budget-bounded training past the peak erodes quality)
+    from gifgan_tpu.train.early_stop import (EarlyStopConfig,
+                                             QualityEarlyStop,
+                                             replay_eval_log)
+
+    stopping = args.early_stop_patience > 0
+    quality = QualityEarlyStop(EarlyStopConfig(
+        patience=args.early_stop_patience if stopping else 10**9,
+        warmup_evals=args.early_stop_warmup,
+        fad_tie_delta=args.fad_tie_delta))
+    best_dir = os.path.join(args.run_dir, "checkpoints_best")
+    if resumed:
+        # policy state is a pure function of the log's eval prefix; only
+        # replay records at or before the restored checkpoint's chunk
+        replay_eval_log(log_path, quality, upto_chunk=start_chunk)
+        if quality.stopped and stopping:
+            print(f"[endurance] run already early-stopped at chunk "
+                  f"{start_chunk} (best step {quality.best_step}, "
+                  f"rate {quality.best_rate}, fad {quality.best_fad}) — "
+                  f"nothing to resume", flush=True)
+            return
+
     controller = None
     knobs = None
     if args.auto_intervene:
@@ -370,6 +410,26 @@ def main():
                 print(f"[endurance] eval @step {c * K}: track-rate "
                       f"{ev['tracked']}/{ev['total']} fad={ev['fad']}",
                       flush=True)
+                qev = quality.observe(ev["rate"], ev["fad"],
+                                      chunk=c, step=c * K)
+                if qev is not None:
+                    qev["wall_s"] = prior_wall + (time.time() - t_start)
+                    log(qev)
+                    if qev["kind"] == "quality_best":
+                        if not args.no_keep_best:
+                            checkpoint.save(best_dir, c * K, ts,
+                                            max_to_keep=1)
+                        print(f"[endurance] NEW BEST @step {c * K}: "
+                              f"rate={ev['rate']} fad={ev['fad']}",
+                              flush=True)
+                    elif qev["kind"] == "early_stop" and stopping:
+                        print(f"[endurance] EARLY STOP @step {c * K}: "
+                              f"{qev['since_best']} evals without "
+                              f"improvement (best: step "
+                              f"{qev['best_step']}, rate "
+                              f"{qev['best_rate']}, fad "
+                              f"{qev['best_fad']})", flush=True)
+                        break
     finally:
         checkpoint.save(ckpt_dir, c * K, ts, max_to_keep=3)
         log({"kind": "final_ckpt", "chunk": c, "step": c * K,
@@ -382,6 +442,24 @@ def main():
     log(ev)
     print(f"[endurance] DONE: {c * K} steps, final track-rate "
           f"{ev['tracked']}/{ev['total']}", flush=True)
+
+    # the serving artifact is the BEST periodic eval's checkpoint, not the
+    # last one — when they differ, score the best snapshot at final-eval
+    # scale too (same protocol/keys), so the log states which to ship
+    if (not args.no_keep_best and quality.best_step is not None
+            and quality.best_step != c * K
+            and checkpoint.latest_step(best_dir) is not None):
+        ts_best = checkpoint.restore(best_dir, ts)
+        evb = eval_track_rate(ts_best, args.final_eval_clips,
+                              jax.random.PRNGKey(999))
+        evb.update({"kind": "final_eval_best", "chunk": quality.best_chunk,
+                    "step": quality.best_step,
+                    "wall_s": prior_wall + (time.time() - t_start),
+                    "fad": eval_fad(ts_best, jax.random.PRNGKey(998))})
+        log(evb)
+        print(f"[endurance] BEST (step {quality.best_step}): track-rate "
+              f"{evb['tracked']}/{evb['total']} fad={evb['fad']} — "
+              f"serve this one if it beats the final", flush=True)
 
 
 if __name__ == "__main__":

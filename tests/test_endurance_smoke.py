@@ -109,3 +109,52 @@ def test_endurance_auto_intervene_knobs_and_resume(tmp_path):
     for r in resumed_chunks:
         assert r["image_noise_std"] == 0.3  # not the stale-tail 0.9
         assert r["d_lr_scale"] == 0.5
+
+
+def test_endurance_early_stop_keeps_best_and_wont_rerun(tmp_path):
+    """--early-stop-patience ends the run on a quality plateau, snapshots
+    the best periodic eval's checkpoint, scores it at final-eval scale
+    (final_eval_best), and a re-invocation refuses to resume a stopped run.
+
+    Determinism: --fad-tie-delta 1e9 makes any second eval non-improving
+    (no FAD drop can exceed it, and the junk-GAN track-rate can't move),
+    so with patience 1 / warmup 2 the run must stop at exactly eval 2."""
+    run_dir = str(tmp_path / "endurance_es")
+
+    r1 = _run(run_dir, max_chunks=6,
+              extra=("--eval-every-chunks", "1",
+                     "--early-stop-patience", "1",
+                     "--early-stop-warmup", "2",
+                     "--fad-tie-delta", "1e9"))
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert "EARLY STOP" in r1.stdout, r1.stdout[-2000:]
+    log_path = os.path.join(run_dir, "endurance.jsonl")
+    recs = [json.loads(ln) for ln in open(log_path)]
+
+    stops = [r for r in recs if r["kind"] == "early_stop"]
+    assert len(stops) == 1 and stops[0]["chunk"] == 2
+    assert stops[0]["best_chunk"] == 1
+    # the run ended at the stop, not the --max-chunks budget
+    assert max(r["chunk"] for r in recs if r["kind"] == "chunk") == 2
+
+    bests = [r for r in recs if r["kind"] == "quality_best"]
+    assert [b["chunk"] for b in bests] == [1]
+    best_dir = os.path.join(run_dir, "checkpoints_best")
+    assert os.path.isdir(best_dir) and os.listdir(best_dir)
+
+    # the best snapshot (!= final step) was scored at final-eval scale
+    finals_best = [r for r in recs if r["kind"] == "final_eval_best"]
+    assert len(finals_best) == 1
+    assert finals_best[0]["step"] == stops[0]["best_step"]
+    assert finals_best[0]["fad"] is not None
+
+    # a stopped run must not train further on re-invocation
+    r2 = _run(run_dir, max_chunks=6,
+              extra=("--eval-every-chunks", "1",
+                     "--early-stop-patience", "1",
+                     "--early-stop-warmup", "2",
+                     "--fad-tie-delta", "1e9"))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "already early-stopped" in r2.stdout, r2.stdout[-2000:]
+    recs2 = [json.loads(ln) for ln in open(log_path)]
+    assert max(r["chunk"] for r in recs2 if r["kind"] == "chunk") == 2
