@@ -902,8 +902,15 @@ def _enable_compile_cache():
     out."""
     if os.environ.get("GIFGAN_NO_COMPILE_CACHE"):
         return
-    from gifgan_tpu.core.cache import DEFAULT_CACHE_DIR, enable_compile_cache
+    from gifgan_tpu.core.cache import (DEFAULT_CACHE_DIR, cpu_platform,
+                                       enable_compile_cache)
 
+    if cpu_platform():
+        # CPU compiles are seconds; persisting XLA:CPU executables is all
+        # risk (cross-machine AOT loads, a reproducible segfault in the
+        # cache write of the heaviest train step) and no reward — the
+        # cache exists for the ~350 s TPU remote compiles (core/cache.py)
+        return
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", DEFAULT_CACHE_DIR)
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
                           "1.0")

@@ -16,8 +16,45 @@ gotchas on this machine (2026-08-17):
 """
 
 import os
+import sys
 
 DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/gifgan_jax_cache")
+
+
+def cpu_platform() -> bool:
+    """True when this process is (or is being forced) CPU-backed.
+
+    The persistent cache exists for ONE reason: flagship TPU compiles cost
+    ~350 s through the remote-compile tunnel. CPU compiles are seconds, and
+    caching XLA:CPU executables is actively dangerous: entries are keyed
+    without the exact host CPU feature set, so a cache dir carried across
+    machines feeds foreign AOT results back to XLA ("could lead to
+    execution errors such as SIGILL" load errors), and serializing the
+    heaviest CPU train-step executable segfaulted the full test suite three
+    separate times (2026-08-19: SIGABRT/SIGSEGV inside
+    put_executable_and_time at tests/test_vid_dcgan.py's unfrozen step —
+    only when an in-process CLI test had enabled the cache first, which is
+    why every file passed standalone). So: never persist on CPU.
+
+    Checked without initializing a backend (jax.devices() here would pin
+    the platform prematurely): the repo's own GIFGAN_PLATFORM switch, the
+    live jax config, and the JAX_PLATFORMS env (tests/conftest.py sets it;
+    a false positive merely skips the cache, never breaks correctness).
+    """
+    if os.environ.get("GIFGAN_PLATFORM", "").startswith("cpu"):
+        return True
+    if (os.environ.get("JAX_PLATFORMS") or "").startswith("cpu"):
+        return True
+    if "jax" in sys.modules:
+        try:
+            import jax
+
+            p = jax.config.jax_platforms
+            if p and str(p).startswith("cpu"):
+                return True
+        except Exception:
+            pass
+    return False
 
 # Repo-committed cache seed: ~/.cache does NOT survive across driver rounds
 # (fresh machine each round) but the git repo does, so the flagship bench
@@ -55,7 +92,12 @@ def seed_cache_from_repo(cache_dir: str = None) -> int:
 
 def enable_compile_cache(cache_dir: str = None) -> None:
     """Point jax at the shared persistent compile cache. Safe to call
-    multiple times and before/after backend init; never raises."""
+    multiple times and before/after backend init; never raises.
+
+    No-op on CPU-backed processes (see cpu_platform): the cache is for the
+    ~350 s TPU remote compiles only."""
+    if cpu_platform():
+        return
     try:
         import jax
 
