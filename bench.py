@@ -216,6 +216,23 @@ def _flagship_cache_mtime():
     return newest
 
 
+def _snapshot_cache_baseline():
+    """Seed the live cache from the repo-committed entries, THEN snapshot
+    the flagship-entry mtime baseline — in that order, in the PARENT.
+
+    The first round-3 driver-style run failed both attempts because the
+    CHILD did the seeding: the copies landed with fresh mtimes, the parent
+    read that as "the compile just finished", and the post-compile-stall
+    rule killed a child that was legitimately 50-300 s into the warm
+    executable load. Seeding before the snapshot makes the baseline include
+    the seed, so only a genuinely compile-written entry arms the stall rule
+    (the child's own seed_cache_from_repo then skips existing files)."""
+    from gifgan_tpu.core.cache import seed_cache_from_repo
+
+    seed_cache_from_repo()
+    return _flagship_cache_mtime()
+
+
 def _run_child_attempt(deadline_total: float):
     """One measurement attempt in a child process with stage watchdog.
 
@@ -233,9 +250,10 @@ def _run_child_attempt(deadline_total: float):
     status = f"/tmp/gifgan_bench_status_{os.getpid()}_{time.time():.0f}"
     env = {**os.environ, STATUS_ENV: status, "GIFGAN_BENCH_CHILD": "1"}
     t0 = time.time()
-    cache_mtime_before = _flagship_cache_mtime()
+    cache_mtime_before = _snapshot_cache_baseline()
     with open(status, "w"):
         pass
+    fail_reason = None
     out = open(status + ".out", "wb")
     p = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--measure-child"],
@@ -247,6 +265,7 @@ def _run_child_attempt(deadline_total: float):
                 break
             now = time.time()
             if now - t0 > deadline_total:
+                fail_reason = "killed: global budget exhausted"
                 p.kill()
                 p.wait()
                 return None
@@ -262,6 +281,8 @@ def _run_child_attempt(deadline_total: float):
                 nxt = order[0] if reached is None else \
                     order[order.index(reached) + 1]
                 if now - t0 > _CHEAP_STAGE_DEADLINES[nxt]:
+                    fail_reason = (f"killed: stage deadline before "
+                                   f"'{nxt}' ({_CHEAP_STAGE_DEADLINES[nxt]}s)")
                     p.kill()
                     p.wait()
                     return None
@@ -271,12 +292,16 @@ def _run_child_attempt(deadline_total: float):
                 new_mtime = _flagship_cache_mtime()
                 if (new_mtime > cache_mtime_before
                         and now - new_mtime > _POST_CACHE_STALL_S):
+                    fail_reason = ("killed: compile finished (fresh cache "
+                                   "entry) but child silent "
+                                   f"{now - new_mtime:.0f}s after it")
                     p.kill()
                     p.wait()
                     return None
             # "warm"/"measured": steps take seconds; global budget covers it
             time.sleep(2.0)
         if rc != 0:
+            fail_reason = f"child exited rc={rc}"
             return None
         out.flush()
         with open(status + ".out") as f:
@@ -297,6 +322,8 @@ def _run_child_attempt(deadline_total: float):
             with open(status) as f:
                 trail = [ln.strip() for ln in f if ln.strip()]
             sys.stderr.write(f"  attempt stages: {trail}\n")
+            if fail_reason:
+                sys.stderr.write(f"  attempt outcome: {fail_reason}\n")
         except OSError:
             pass
         for suffix in ("", ".out"):
