@@ -344,8 +344,12 @@ def _seed_cache_export():
 
     os.makedirs(SEED_DIR, exist_ok=True)
     exported = []
+    # jit_train_chunk-* is the bench program; jit_train_chunk_ids-* is the
+    # endurance/device-corpus program (same ~350 s cold compile — the
+    # original "jit_train_chunk-" filter silently excluded it, so round-3's
+    # endurance run started cold even on a seeded machine)
     for name in sorted(os.listdir(DEFAULT_CACHE_DIR)):
-        if name.startswith("jit_train_chunk-") and name.endswith("-cache"):
+        if name.startswith("jit_train_chunk") and name.endswith("-cache"):
             shutil.copyfile(os.path.join(DEFAULT_CACHE_DIR, name),
                             os.path.join(SEED_DIR, name))
             exported.append(name)
