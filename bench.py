@@ -68,6 +68,38 @@ def _mark(stage: str):
             f.write(f"{time.time():.1f} {stage}\n")
 
 
+def _install_cache_probe():
+    """Forward jax's persistent-cache hit/miss log lines for the flagship
+    program into the stage file as `cache_hit` / `cache_miss` marks.
+
+    This is the disambiguator the round-3 driver failure was missing: a
+    child silent in the "data"->"warm" gap is EITHER loading a warm cached
+    executable (50-175 s, then any further silence is the known relay hang
+    — kill fast, a retry is warm) OR cold-compiling (290-420 s, must never
+    be killed on a timer). jax logs which one at lookup time
+    (jax/_src/compiler.py log_persistent_cache_{hit,miss}), before the
+    long operation starts, so the parent can apply the right kill rule.
+    """
+    import logging
+
+    class _Probe(logging.Handler):
+        def emit(self, record):
+            try:
+                msg = record.getMessage().lower()
+            except Exception:
+                return
+            if "train_chunk" not in msg:
+                return  # tiny warmup programs also log lookups
+            if "cache hit" in msg:
+                _mark("cache_hit")
+            elif "cache miss" in msg:
+                _mark("cache_miss")
+
+    lg = logging.getLogger("jax._src.compiler")
+    lg.setLevel(logging.DEBUG)  # hit/miss log at DEBUG unless log_compiles
+    lg.addHandler(_Probe(level=logging.DEBUG))
+
+
 def run_bench(steps: int = 3, warmup: int = 1, batch_size: int = None,
               chunk: int = 80, dtype: str = "bfloat16"):
     import jax
@@ -77,6 +109,7 @@ def run_bench(steps: int = 3, warmup: int = 1, batch_size: int = None,
     from gifgan_tpu.core.cache import enable_compile_cache
 
     enable_compile_cache()
+    _install_cache_probe()
     # record whether the flagship executable was already in the persistent
     # cache when this attempt started (round-2 verdict item 8: the cache is
     # supposed to survive across driver rounds — ~/.cache/gifgan_jax_cache
@@ -199,6 +232,76 @@ _CHEAP_STAGE_DEADLINES = {
 # is an executable load + one dispatch; a child silent this long AFTER the
 # cache write is hung, and a retry will hit the warm cache.
 _POST_CACHE_STALL_S = 120.0
+# When the child reported `cache_hit` for the flagship program, the long
+# operation in flight is a warm executable load (worst observed 175 s).
+# Silence beyond this after the hit is the relay hang — kill and retry;
+# the retry hits the same warm cache. (This is the round-3 driver failure:
+# the seeded child sat 425 s past "data" with no way to tell a hung warm
+# load from a legitimate cold compile, so the old policy waited out the
+# whole budget on one attempt.)
+_WARM_LOAD_DEADLINE_S = 260.0
+
+_PIPELINE = ("imports", "device", "dispatched", "init", "data",
+             "warm", "measured")
+
+
+def _parse_stages(status_path: str):
+    """Stage file -> {stage_name: first_time_seen}. Lines are 'T NAME'."""
+    seen = {}
+    try:
+        with open(status_path) as f:
+            for ln in f:
+                parts = ln.split()
+                if len(parts) == 2 and parts[1] not in seen:
+                    try:
+                        seen[parts[1]] = float(parts[0])
+                    except ValueError:
+                        pass
+    except OSError:
+        pass
+    return seen
+
+
+def _watch_verdict(now, t0, deadline_total, stages_seen,
+                   cache_mtime_before, cache_mtime_now):
+    """Pure kill-policy decision for one watchdog observation.
+
+    Returns None (let the child run) or a string kill reason. Factored out
+    of the monitor loop so the policy — which has now caused three rounds
+    of driver-budget losses in subtly different ways — is unit-testable
+    without a live child (tests/test_bench_watchdog.py).
+    """
+    if now - t0 > deadline_total:
+        return "killed: global budget exhausted"
+    reached = None
+    for name in _PIPELINE:
+        if name in stages_seen:
+            reached = name
+    if reached in (None, *list(_CHEAP_STAGE_DEADLINES)[:-1]):
+        order = list(_CHEAP_STAGE_DEADLINES)
+        nxt = order[0] if reached is None else order[order.index(reached) + 1]
+        if now - t0 > _CHEAP_STAGE_DEADLINES[nxt]:
+            return (f"killed: stage deadline before '{nxt}' "
+                    f"({_CHEAP_STAGE_DEADLINES[nxt]}s)")
+        return None
+    if reached == "data":
+        if "cache_hit" in stages_seen:
+            # warm load in flight; bounded duration, then it's the hang
+            if now - stages_seen["cache_hit"] > _WARM_LOAD_DEADLINE_S:
+                return ("killed: flagship cache hit "
+                        f"{now - stages_seen['cache_hit']:.0f}s ago but warm "
+                        "never reached (relay hang during warm load; retry "
+                        "hits the same warm cache)")
+            return None
+        # cold compile (cache_miss) or unknown: never kill on a timer while
+        # the compile may be running — only after it demonstrably finished
+        # (a fresh cache entry) and the child then sat silent
+        if (cache_mtime_now > cache_mtime_before
+                and now - cache_mtime_now > _POST_CACHE_STALL_S):
+            return ("killed: compile finished (fresh cache entry) but child "
+                    f"silent {now - cache_mtime_now:.0f}s after it")
+    # "warm"/"measured": steps take seconds; the global budget covers it
+    return None
 
 
 def _flagship_cache_mtime():
@@ -226,26 +329,52 @@ def _snapshot_cache_baseline():
     rule killed a child that was legitimately 50-300 s into the warm
     executable load. Seeding before the snapshot makes the baseline include
     the seed, so only a genuinely compile-written entry arms the stall rule
-    (the child's own seed_cache_from_repo then skips existing files)."""
+    (the child's own seed_cache_from_repo then skips existing files).
+
+    Seeding here deliberately bypasses core/cache.cpu_platform(): copying
+    seed files into the dir is inert data-at-rest — the CPU danger is jax
+    *loading/serializing* XLA:CPU executables, and enable_compile_cache
+    keeps that gated off; a CPU-backed parent merely pre-stages files the
+    TPU child will use (round-3 advisor note)."""
     from gifgan_tpu.core.cache import seed_cache_from_repo
 
     seed_cache_from_repo()
     return _flagship_cache_mtime()
 
 
-def _run_child_attempt(deadline_total: float):
+POSTMORTEM_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_postmortem.jsonl")
+
+
+def _write_postmortem(event: dict):
+    """Append one JSON line to the repo-committed bench journal.
+
+    The driver artifact (BENCH_rN.json) keeps only a truncated stderr tail;
+    rounds 1-3 each needed a reproduction session to diagnose an rc!=0. This
+    file lives in the repo, survives the round, and records every attempt's
+    stage trail + kill reason (and successes), so a future failure is
+    diagnosable from `git show` alone."""
+    try:
+        with open(POSTMORTEM_PATH, "a") as f:
+            f.write(json.dumps({"t": round(time.time(), 1), **event}) + "\n")
+    except OSError:
+        pass
+
+
+def _run_child_attempt(deadline_total: float, attempt: int = 0):
     """One measurement attempt in a child process with stage watchdog.
 
-    Kill policy (round-1 recorded rc=124; both round-2 cold failures were
-    the watchdog killing the child AT compile completion — the cache entry
-    landed the same second as the kill):
+    Kill policy (see _watch_verdict for the testable decision function):
       - cheap stages (through "data"): fixed short deadlines; a stall there
         is the known relay hang and a retry is cheap;
-      - the compile-carrying "warm" stage: NEVER killed on a timer while
-        the compile may still be running — only when the global budget is
-        nearly spent, or when the compile demonstrably finished (a fresh
-        cache entry appeared) and the child then sat silent for
-        _POST_CACHE_STALL_S (hung post-compile; a retry is warm).
+      - after "data" with a `cache_hit` mark: a warm executable load is in
+        flight (bounded 50-175 s); silence past _WARM_LOAD_DEADLINE_S is
+        the relay hang — kill, the retry is warm;
+      - after "data" without a hit (cold compile / unknown): NEVER killed
+        on a timer while the compile may still be running — only when the
+        global budget is nearly spent, or when the compile demonstrably
+        finished (a fresh cache entry appeared) and the child then sat
+        silent for _POST_CACHE_STALL_S (hung post-compile; a retry is warm).
     Returns the parsed JSON dict or None."""
     status = f"/tmp/gifgan_bench_status_{os.getpid()}_{time.time():.0f}"
     env = {**os.environ, STATUS_ENV: status, "GIFGAN_BENCH_CHILD": "1"}
@@ -254,6 +383,7 @@ def _run_child_attempt(deadline_total: float):
     with open(status, "w"):
         pass
     fail_reason = None
+    result = None
     out = open(status + ".out", "wb")
     p = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--measure-child"],
@@ -264,41 +394,15 @@ def _run_child_attempt(deadline_total: float):
             if rc is not None:
                 break
             now = time.time()
-            if now - t0 > deadline_total:
-                fail_reason = "killed: global budget exhausted"
+            verdict = _watch_verdict(now, t0, deadline_total,
+                                     _parse_stages(status),
+                                     cache_mtime_before,
+                                     _flagship_cache_mtime())
+            if verdict is not None:
+                fail_reason = verdict
                 p.kill()
                 p.wait()
                 return None
-            stages = []
-            try:
-                with open(status) as f:
-                    stages = [ln.split()[1] for ln in f if ln.strip()]
-            except OSError:
-                pass
-            reached = stages[-1] if stages else None
-            if reached in (None, *list(_CHEAP_STAGE_DEADLINES)[:-1]):
-                order = list(_CHEAP_STAGE_DEADLINES)
-                nxt = order[0] if reached is None else \
-                    order[order.index(reached) + 1]
-                if now - t0 > _CHEAP_STAGE_DEADLINES[nxt]:
-                    fail_reason = (f"killed: stage deadline before "
-                                   f"'{nxt}' ({_CHEAP_STAGE_DEADLINES[nxt]}s)")
-                    p.kill()
-                    p.wait()
-                    return None
-            elif reached == "data":
-                # compile in flight; kill only if it finished and the
-                # child still went silent
-                new_mtime = _flagship_cache_mtime()
-                if (new_mtime > cache_mtime_before
-                        and now - new_mtime > _POST_CACHE_STALL_S):
-                    fail_reason = ("killed: compile finished (fresh cache "
-                                   "entry) but child silent "
-                                   f"{now - new_mtime:.0f}s after it")
-                    p.kill()
-                    p.wait()
-                    return None
-            # "warm"/"measured": steps take seconds; global budget covers it
             time.sleep(2.0)
         if rc != 0:
             fail_reason = f"child exited rc={rc}"
@@ -309,15 +413,19 @@ def _run_child_attempt(deadline_total: float):
                 line = line.strip()
                 if line.startswith("{"):
                     try:
-                        return json.loads(line)
+                        result = json.loads(line)
+                        return result
                     except json.JSONDecodeError:
                         pass
+        fail_reason = "child exited 0 but emitted no JSON line"
         return None
     finally:
         out.close()
-        # on failure keep the status file and log the stages reached —
-        # the difference between "hung at device contact" and "slow
-        # executable load" decides whether retrying is worth it
+        # log the stages reached — the difference between "hung at device
+        # contact" and "slow executable load" decides whether retrying is
+        # worth it — and journal the attempt to the repo-committed
+        # post-mortem file either way
+        trail = []
         try:
             with open(status) as f:
                 trail = [ln.strip() for ln in f if ln.strip()]
@@ -326,6 +434,13 @@ def _run_child_attempt(deadline_total: float):
                 sys.stderr.write(f"  attempt outcome: {fail_reason}\n")
         except OSError:
             pass
+        _write_postmortem({
+            "attempt": attempt,
+            "elapsed_s": round(time.time() - t0, 1),
+            "stages": trail,
+            "outcome": fail_reason or "ok",
+            "result": result,
+        })
         for suffix in ("", ".out"):
             try:
                 os.unlink(status + suffix)
@@ -377,13 +492,17 @@ def main():
     while time.time() - t0 < budget - 30:
         attempt += 1
         remaining = budget - (time.time() - t0)
-        result = _run_child_attempt(remaining - 5)
+        result = _run_child_attempt(remaining - 5, attempt=attempt)
         if result is not None:
             print(json.dumps(result), flush=True)
             return
         sys.stderr.write(f"bench attempt {attempt} failed; retrying with "
                          f"{budget - (time.time() - t0):.0f}s left\n")
     sys.stderr.write("bench: budget exhausted without a measurement\n")
+    _write_postmortem({"attempt": attempt, "outcome": "budget exhausted "
+                       "without a measurement", "elapsed_s":
+                       round(time.time() - t0, 1), "stages": [],
+                       "result": None})
     sys.exit(3)
 
 

@@ -78,15 +78,23 @@ def seed_cache_from_repo(cache_dir: str = None) -> int:
     copied = 0
     try:
         os.makedirs(dst, exist_ok=True)
-        for name in os.listdir(SEED_DIR):
-            if not name.endswith("-cache"):
-                continue
-            target = os.path.join(dst, name)
+        names = sorted(os.listdir(SEED_DIR))
+    except OSError:
+        return 0
+    for name in names:
+        if not name.endswith("-cache"):
+            continue
+        target = os.path.join(dst, name)
+        try:
             if not os.path.exists(target):
                 shutil.copyfile(os.path.join(SEED_DIR, name), target)
                 copied += 1
-    except OSError:
-        pass
+        except OSError:
+            # Per-file tolerance (round-3 advisor): aborting the loop on
+            # one bad file would leave the REMAINING seeds to be copied by
+            # the child with post-baseline mtimes — re-arming the stall
+            # rule falsely, the exact bug the parent-side seeding fixed.
+            continue
     return copied
 
 

