@@ -874,6 +874,16 @@ def cmd_face_detect(args):
 
 
 
+def cmd_survey_pairs(args):
+    from gifgan_tpu.eval.survey import make_pair_manifest
+
+    out = make_pair_manifest(args.sample_dir, args.variant_a, args.variant_b,
+                             n=args.n, seed=args.seed,
+                             url_prefix=args.url_prefix)
+    print(f"{len(out['pairs'])} pairs ({args.variant_a} vs {args.variant_b})"
+          f" -> {os.path.join(args.sample_dir, 'pairs.json')} + pairs.csv")
+
+
 def cmd_survey_serve(args):
     from gifgan_tpu.serve.survey import SurveyServer, serve
 
@@ -1299,6 +1309,21 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8082)
     _add_tls_args(p)
     p.set_defaults(fn=cmd_survey_serve)
+
+    p = sub.add_parser(
+        "survey-pairs",
+        help="randomized A/B pair manifest + MTurk CSV from an exported "
+             "survey sample dir (reference mturk/randomize_csv.py)")
+    p.add_argument("--sample-dir", required=True)
+    p.add_argument("--variant-a", required=True)
+    p.add_argument("--variant-b", required=True)
+    p.add_argument("--n", type=int, default=None,
+                   help="pair count (default: all available)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--url-prefix", default="",
+                   help="prepended to file names in pairs.csv (the hosted "
+                        "base URL for an external MTurk HIT)")
+    p.set_defaults(fn=cmd_survey_pairs)
 
     p = sub.add_parser("bench")
     p.set_defaults(fn=cmd_bench)

@@ -269,3 +269,26 @@ def test_cli_train_vid_seq_parallel_auto_intervene(tmp_path):
     # knob fields live on every chunk record (the controller is wired in)
     assert "image_noise_std" in recs[-1] and "d_lr_scale" in recs[-1]
     assert os.path.isdir(os.path.join(run_dir, "checkpoints"))
+
+
+def test_cli_survey_pairs(tmp_path, capsys):
+    """README documents `survey-pairs`; the subcommand must actually exist
+    and produce the pair manifest + MTurk CSV (round-4 doc-truth pass)."""
+    pytest.importorskip("imageio")
+    from gifgan_tpu.data.synthetic import synthetic_clips
+    from gifgan_tpu.eval import export_survey_samples
+
+    export_survey_samples(
+        {"nested": lambda n: synthetic_clips(n, 3, 16, seed=1),
+         "real": lambda n: synthetic_clips(n, 3, 16, seed=2)},
+        str(tmp_path), samples_per_variant=3)
+    _run(["survey-pairs", "--sample-dir", str(tmp_path),
+          "--variant-a", "nested", "--variant-b", "real",
+          "--url-prefix", "https://host/"])
+    out = capsys.readouterr().out
+    assert "3 pairs" in out
+    pairs = json.load(open(tmp_path / "pairs.json"))
+    assert len(pairs["pairs"]) == 3
+    csv_lines = (tmp_path / "pairs.csv").read_text().splitlines()
+    assert csv_lines[0] == "image_A_url,image_B_url,swap"
+    assert all(ln.startswith("https://host/") for ln in csv_lines[1:])
