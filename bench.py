@@ -52,8 +52,12 @@ STATUS_ENV = "GIFGAN_BENCH_STATUS"
 def _flagship(dtype="bfloat16"):
     from gifgan_tpu.core.config import DCGANConfig, TrainConfig, VidGANConfig
 
+    # packed_c3: phase-packed execution of the c=3 end layers (measured
+    # step win, examples/conv_roofline.py + PROFILE.md round 4). Env
+    # override is for A/B measurement only.
+    packed = os.environ.get("GIFGAN_PACKED_C3", "1") != "0"
     img = DCGANConfig(output_size=64, c_dim=3, z_dim=100,
-                      compute_dtype=dtype)
+                      compute_dtype=dtype, packed_c3=packed)
     cfg = VidGANConfig(z_input_size=120, z_output_size=100, vid_length=16,
                        image_gan=img, first_frame_loss_scalar=1.0,
                        compute_dtype=dtype)
@@ -98,6 +102,9 @@ def _install_cache_probe():
     lg = logging.getLogger("jax._src.compiler")
     lg.setLevel(logging.DEBUG)  # hit/miss log at DEBUG unless log_compiles
     lg.addHandler(_Probe(level=logging.DEBUG))
+    # keep the DEBUG firehose out of root handlers (it would flood the
+    # --inproc console); the probe handler above still sees every record
+    lg.propagate = False
 
 
 def run_bench(steps: int = 3, warmup: int = 1, batch_size: int = None,

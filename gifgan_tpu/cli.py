@@ -44,7 +44,8 @@ def _dcgan_cfg(args):
     return DCGANConfig(output_size=args.output_size, c_dim=args.c_dim,
                        z_dim=args.z_dim, gf_dim=args.gf_dim,
                        df_dim=args.df_dim, noise_std=args.image_noise,
-                       compute_dtype=args.compute_dtype)
+                       compute_dtype=args.compute_dtype,
+                       packed_c3=getattr(args, "packed_c3", False))
 
 
 def _train_cfg(args):
@@ -95,6 +96,12 @@ def _add_dcgan_args(p):
     p.add_argument("--image-noise", type=float, default=0.0)
     p.add_argument("--compute-dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--packed-c3", action="store_true",
+                   help="phase-packed execution of the c-dim end layers "
+                        "(D input conv space-to-depth, G output deconv "
+                        "subpixel): same function, +6%% step throughput at "
+                        "the flagship shape on TPU (accumulation order "
+                        "differs from the TF-exact default)")
 
 
 def _stills_u8(args, cfg) -> np.ndarray:

@@ -32,6 +32,12 @@ class DCGANConfig:
     noise_std: float = 0.0         # instance noise std (model.py:82,106)
     # Compute dtype for conv/matmul activations. Params stay float32.
     compute_dtype: str = "float32"
+    # Phase-packed execution of the two c_dim-channel end layers (D input
+    # conv space-to-depth, G output deconv subpixel): same function, 4x MXU
+    # lane packing where N=3 pads 128 lanes. Accumulation order differs
+    # from the TF-exact default, so it is opt-in; the flagship bench/train
+    # paths enable it (measured win, examples/conv_roofline.py).
+    packed_c3: bool = False
 
     def __post_init__(self):
         # unconditional nets need 4 stride-2 stages (%16); the conditional

@@ -79,7 +79,12 @@ def generator(params, state, z: Array, cfg: DCGANConfig, train: bool,
             params[f"bn{i + 1}"], state[f"bn{i + 1}"], h, train)
         h = jax.nn.relu(h)
 
-    h = nn.deconv2d(params["h4_deconv"], h, dtype=dtype)
+    # output layer (c_dim channels): with packed_c3, the subpixel form
+    # computes 4*c out-channels before its depth-to-space — 4x MXU lane
+    # packing where N=c_dim=3 pads 128 lanes (measured +15% on this
+    # stage's fwd+bwd; examples/conv_roofline.py 2026-08-20)
+    impl = "subpixel" if getattr(cfg, "packed_c3", False) else None
+    h = nn.deconv2d(params["h4_deconv"], h, dtype=dtype, impl=impl)
     return jnp.tanh(h.astype(jnp.float32)), new_state
 
 
@@ -112,7 +117,12 @@ def discriminator(params, state, x: Array, cfg: DCGANConfig, train: bool,
     dtype = jnp.dtype(cfg.compute_dtype)
     new_state = {}
 
-    h = nn.lrelu(nn.conv2d(params["h0_conv"], x.astype(dtype), dtype=dtype))
+    # input layer (c_dim channels): packed_c3 runs it space-to-depth
+    # phase-packed (3 -> 12 contraction channels; measured +7.5% fwd+bwd
+    # at the flagship shape; examples/conv_roofline.py 2026-08-20)
+    impl0 = "s2d" if getattr(cfg, "packed_c3", False) else None
+    h = nn.lrelu(nn.conv2d(params["h0_conv"], x.astype(dtype), dtype=dtype,
+                           impl=impl0))
     h = nn.conv2d(params["h1_conv"], h, dtype=dtype)
     h, new_state["bn1"] = nn.batch_norm(params["bn1"], state["bn1"], h, train)
     h = nn.lrelu(h)

@@ -53,8 +53,15 @@ def conv2d_init(key, in_ch: int, out_ch: int, k: int = 5, stddev: float = 0.02):
     }
 
 
-def conv2d(params, x: Array, stride: int = 2, dtype=None) -> Array:
+def conv2d(params, x: Array, stride: int = 2, dtype=None,
+           impl: Optional[str] = None) -> Array:
+    """impl: None/"default" = SAME strided conv (TF-exact numerics);
+    "s2d" = the space-to-depth phase packing (same function, accumulation
+    order differs; see _conv2d_s2d — the measured c=3 fast path)."""
     dtype = dtype or x.dtype
+    if (impl == "s2d" and stride == 2 and params["w"].shape[0] == 5
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+        return _conv2d_s2d(params, x, dtype)
     w = params["w"].astype(dtype)
     y = jax.lax.conv_general_dilated(
         x.astype(dtype), w,
@@ -62,6 +69,42 @@ def conv2d(params, x: Array, stride: int = 2, dtype=None) -> Array:
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+    return (y + params["b"]).astype(dtype)
+
+
+def _conv2d_s2d(params, x: Array, dtype) -> Array:
+    """Stride-2 k=5 SAME conv over a space-to-depth phase-packed input.
+
+    1-D derivation (SAME stride-2 k=5 pads (1, 2)):
+        y[j] = sum_t x[2j-1+t] w[t]
+             = x_odd[j-1] w0 + x_even[j] w1 + x_odd[j] w2
+               + x_even[j+1] w3 + x_odd[j+1] w4
+    so over the 2x2-phase-packed grid this is a dense VALID 3x3 conv with
+    4*c_in input channels; per displacement d and phase p the tap index is
+    E[d+1, p] with E = [[-,0],[1,2],[3,4]] (- = zero slot). 25 of 36 slots
+    are real taps; the zeros buy 4x MXU lane packing where it matters —
+    the c=3 input layer runs at 7% of bf16 peak as N=3-against-128-lanes
+    (docs/PROFILE.md), and phase packing measured +7.5% on its fwd+bwd at
+    the flagship shape (examples/conv_roofline.py, 2026-08-20). Identical
+    terms to the strided form, so equal up to accumulation order. Opt-in
+    per call site (models/dcgan.py packed_c3) — the default conv2d stays
+    the TF-exact execution the golden tests pin.
+    """
+    w = params["w"].astype(dtype)  # (5, 5, cin, cout)
+    cin, cout = w.shape[2], w.shape[3]
+    b, H, W = x.shape[0], x.shape[1], x.shape[2]
+    m, n = H // 2, W // 2
+    xs = x.astype(dtype).reshape(b, m, 2, n, 2, cin)
+    xs = jnp.transpose(xs, (0, 1, 3, 2, 4, 5)).reshape(b, m, n, 4 * cin)
+    xs = jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    wp = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))  # index 5 = zeros
+    E = jnp.array([[5, 0], [1, 2], [3, 4]])  # (displacement, phase) -> tap
+    kern = wp[E[:, :, None, None], E[None, None, :, :]]  # (3,2,3,2,ci,co)
+    kern = jnp.transpose(kern, (0, 2, 1, 3, 4, 5)).reshape(3, 3, 4 * cin,
+                                                           cout)
+    y = jax.lax.conv_general_dilated(
+        xs, kern, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return (y + params["b"]).astype(dtype)
 
 

@@ -125,3 +125,31 @@ def test_ttur_d_learning_rate(key):
     for a, b in zip(jtu.tree_leaves(shared.params),
                     jtu.tree_leaves(explicit.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_packed_c3_model_equivalence(key):
+    """packed_c3=True (phase-packed c=3 end layers) must compute the same
+    generator images and discriminator logits as the default execution —
+    it is an execution-layout choice, not a model change."""
+    import dataclasses
+
+    cfg = DCGANConfig(output_size=32, c_dim=3, z_dim=16, gf_dim=8, df_dim=8)
+    cfgp = dataclasses.replace(cfg, packed_c3=True)
+    params, state = dcgan.init(key, cfg)
+    z = jax.random.uniform(key, (4, 16), minval=-1, maxval=1)
+    img0, _ = dcgan.generator(params.generator, state.generator, z, cfg,
+                              train=True)
+    img1, _ = dcgan.generator(params.generator, state.generator, z, cfgp,
+                              train=True)
+    np.testing.assert_allclose(np.asarray(img0), np.asarray(img1),
+                               rtol=1e-5, atol=1e-5)
+    x = jnp.tanh(jax.random.normal(key, (4, 32, 32, 3)))
+    l0, h20, _ = dcgan.discriminator(params.discriminator,
+                                     state.discriminator, x, cfg, train=True)
+    l1, h21, _ = dcgan.discriminator(params.discriminator,
+                                     state.discriminator, x, cfgp,
+                                     train=True)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h20), np.asarray(h21), rtol=1e-4,
+                               atol=1e-5)

@@ -201,3 +201,48 @@ def test_set_deconv_impl_switches_default(key):
                                    rtol=1e-5, atol=1e-5)
     finally:
         nn.set_deconv_impl(prev)
+
+
+def test_conv2d_s2d_impl_identical(key):
+    """The space-to-depth phase-packed conv (nn._conv2d_s2d) computes the
+    exact same function as the strided SAME conv — values and both
+    gradients. It exists for the c=3 end layers where N=3 pads 128 MXU
+    lanes (models/dcgan.py packed_c3; measured +7.5% fwd+bwd at the
+    flagship shape, examples/conv_roofline.py 2026-08-20)."""
+    for m, ic, oc in [(8, 3, 16), (16, 3, 8), (8, 6, 4)]:
+        kx, kp = jax.random.split(jax.random.fold_in(key, m))
+        p = nn.conv2d_init(kp, ic, oc)
+        x = jax.random.normal(kx, (2, m, m, ic))
+        a = nn.conv2d(p, x)
+        b = nn.conv2d(p, x, impl="s2d")
+        assert a.shape == b.shape == (2, m // 2, m // 2, oc)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    p = nn.conv2d_init(key, 3, 8)
+    x = jax.random.normal(key, (2, 8, 8, 3))
+
+    def loss(p, x, impl):
+        return jnp.sum(nn.conv2d(p, x, impl=impl) ** 2)
+
+    for field in ("w", "b"):
+        ga = jax.grad(loss)(p, x, None)
+        gb = jax.grad(loss)(p, x, "s2d")
+        np.testing.assert_allclose(np.asarray(ga[field]),
+                                   np.asarray(gb[field]),
+                                   rtol=1e-4, atol=1e-4)
+    gxa = jax.grad(lambda x: loss(p, x, None))(x)
+    gxb = jax.grad(lambda x: loss(p, x, "s2d"))(x)
+    np.testing.assert_allclose(np.asarray(gxa), np.asarray(gxb),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv2d_s2d_odd_size_falls_back(key):
+    """Odd spatial sizes can't phase-pack; impl='s2d' must still compute
+    the correct SAME conv (via the fallback), not crash."""
+    p = nn.conv2d_init(key, 3, 4)
+    x = jax.random.normal(key, (2, 7, 7, 3))
+    a = nn.conv2d(p, x)
+    b = nn.conv2d(p, x, impl="s2d")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                               atol=1e-6)

@@ -8,6 +8,8 @@ from gifgan_tpu.core.config import DCGANConfig, TrainConfig, VidGANConfig
 from gifgan_tpu.models import vid_dcgan
 from gifgan_tpu.train import vid as vid_train
 
+from isolation import isolated
+
 IMG = DCGANConfig(output_size=32, c_dim=1, z_dim=12, gf_dim=8, df_dim=8)
 CFG = VidGANConfig(z_input_size=16, z_output_size=12, vid_length=4,
                    hidden_dim=32, d_filters=16, image_gan=IMG,
@@ -114,6 +116,7 @@ def test_face_expression_cross_grid(key):
                                   np.asarray(cross[3, 12:]))
 
 
+@isolated  # heaviest XLA:CPU compile in the suite — see isolation.py
 def test_train_chunk_runs_multiple_steps(key):
     tcfg = TrainConfig(batch_size=2, gen_updates=1)
     ts = vid_train.init_train_state(key, CFG, tcfg)
@@ -126,6 +129,7 @@ def test_train_chunk_runs_multiple_steps(key):
     assert np.isfinite(np.asarray(metrics["d_loss"])).all()
 
 
+@isolated  # compiles BOTH chunk programs — see isolation.py
 def test_train_chunk_ids_matches_train_chunk(key):
     """train_chunk_ids (per-step in-scan gather from a device-resident
     corpus) follows the exact same trajectory as train_chunk fed the
