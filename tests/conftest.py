@@ -28,6 +28,27 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _free_compiled_programs_between_modules():
+    """Release every cached compiled program at module boundaries.
+
+    A full single-process suite run reproducibly segfaults inside XLA:CPU
+    compilation (`backend_compile_and_load`) once ~330 programs have been
+    compiled — and the crash follows the ACCUMULATION, not any particular
+    program: isolating the heaviest compiles into child processes
+    (tests/isolation.py) just moved the crash to the next (tiny!) compile
+    in the last module (jax.random.uniform, 2026-08-20 run A). Dropping
+    the executable caches between modules keeps the process far from the
+    wall; shared small programs recompile per module (seconds each), which
+    is noise against the suite's compile-dominated runtime.
+    """
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
