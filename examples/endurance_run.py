@@ -62,6 +62,12 @@ def parse_args():
                    help="device corpus gather: Pallas scalar-prefetch DMA "
                         "gather, MXU one-hot matmul (76x the row gather at "
                         "flagship shape), or jnp.take")
+    p.add_argument("--packed-c3", action="store_true",
+                   help="phase-packed c=3 end layers (flagship bench "
+                        "execution, +6% step): changes the program hash, so "
+                        "the first run cold-compiles (~6 min) — committed "
+                        "endurance baselines (runs 1-6, 23.3 steps/s) are "
+                        "unpacked; re-baseline deliberately")
     p.add_argument("--dtype", default="bfloat16",
                    help="compute dtype (use float32 for CPU smoke tests — "
                         "bf16 is emulated and ~100x slower on CPU)")
@@ -148,7 +154,8 @@ def main():
     enable_compile_cache()
 
     img = DCGANConfig(output_size=64, c_dim=3, z_dim=100,
-                      compute_dtype=args.dtype, noise_std=args.image_noise)
+                      compute_dtype=args.dtype, noise_std=args.image_noise,
+                      packed_c3=args.packed_c3)
     cfg = VidGANConfig(z_input_size=120, z_output_size=100, vid_length=16,
                        image_gan=img, first_frame_loss_scalar=1.0,
                        compute_dtype=args.dtype,
