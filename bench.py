@@ -459,7 +459,14 @@ def _seed_cache_export():
     """Copy the flagship executables from the live compile cache into the
     repo's committed seed dir (core/cache.SEED_DIR) so the NEXT round's
     fresh machine starts warm — run after a real-chip bench populated the
-    cache. Prints what it exported."""
+    cache. Prints what it exported.
+
+    NOTE this is a SWEEP of every matching live-cache entry: after a
+    session that compiled one-off program variants (ablations, small-corpus
+    runs), curate the seed dir before committing — keep only programs
+    future rounds actually run (the bench flagship, the endurance
+    train_chunk_ids, jit_entry_forward) or the repo carries dead megabytes
+    (2026-08-20: an uncurated sweep was 129 MB vs the curated 41 MB)."""
     import shutil
 
     from gifgan_tpu.core.cache import DEFAULT_CACHE_DIR, SEED_DIR
@@ -470,8 +477,11 @@ def _seed_cache_export():
     # endurance/device-corpus program (same ~350 s cold compile — the
     # original "jit_train_chunk-" filter silently excluded it, so round-3's
     # endurance run started cold even on a seeded machine)
+    # jit_train_chunk* = bench + endurance programs; jit_entry_forward-* =
+    # the driver entry compile check (__graft_entry__.entry)
     for name in sorted(os.listdir(DEFAULT_CACHE_DIR)):
-        if name.startswith("jit_train_chunk") and name.endswith("-cache"):
+        if (name.startswith(("jit_train_chunk", "jit_entry_forward"))
+                and name.endswith("-cache")):
             shutil.copyfile(os.path.join(DEFAULT_CACHE_DIR, name),
                             os.path.join(SEED_DIR, name))
             exported.append(name)
