@@ -102,9 +102,17 @@ def _install_cache_probe():
     lg = logging.getLogger("jax._src.compiler")
     lg.setLevel(logging.DEBUG)  # hit/miss log at DEBUG unless log_compiles
     lg.addHandler(_Probe(level=logging.DEBUG))
-    # keep the DEBUG firehose out of root handlers (it would flood the
-    # --inproc console); the probe handler above still sees every record
-    lg.propagate = False
+    # Keep propagation ON so the module's WARNING/ERROR records (e.g.
+    # persistent-cache read/write failures — prime postmortem evidence)
+    # still reach root handlers; drop only the DEBUG/INFO firehose there
+    # (round-4 advisor: the old propagate=False muted the warnings too).
+    class _DropCompilerDebug(logging.Filter):
+        def filter(self, record):
+            return not (record.name == "jax._src.compiler"
+                        and record.levelno < logging.WARNING)
+
+    for h in logging.getLogger().handlers:
+        h.addFilter(_DropCompilerDebug())
 
 
 def run_bench(steps: int = 3, warmup: int = 1, batch_size: int = None,

@@ -94,7 +94,12 @@ def seed_cache_from_repo(cache_dir: str = None) -> int:
         target = os.path.join(dst, name)
         try:
             if not os.path.exists(target):
-                shutil.copyfile(os.path.join(SEED_DIR, name), target)
+                # Copy via temp + os.replace so an interrupted copy never
+                # leaves a partial -cache file that the exists() check would
+                # treat as complete forever after (round-4 advisor).
+                tmp = target + ".seeding"
+                shutil.copyfile(os.path.join(SEED_DIR, name), tmp)
+                os.replace(tmp, target)
                 copied += 1
         except OSError:
             # Per-file tolerance (round-3 advisor): aborting the loop on

@@ -212,6 +212,9 @@ def run_directory(input_dir: str, output_dir: str, cfg: TrackConfig,
     # operator knowledge. Explicit backends and injected detectors bypass it.
     backend = getattr(cfg, "detector_backend", "auto")
     auto_selected = False
+    probed_frames = {}  # probe's decode, reused below (round-4 advisor:
+    # the first clip of every run was decoded twice — once for its shape,
+    # once again by process_one)
     if detector is None and backend == "auto" and cascade_path and todo:
         min_px = None
         for name in todo[:5]:  # a few tries; probe failure -> host default
@@ -219,6 +222,7 @@ def run_directory(input_dir: str, output_dir: str, cfg: TrackConfig,
                 frames = decode_fn(os.path.join(input_dir, name))
                 if frames is not None and frames.ndim >= 3:
                     min_px = int(min(frames.shape[1], frames.shape[2]))
+                    probed_frames[name] = frames
                     break
             except Exception:
                 continue
@@ -307,7 +311,9 @@ def run_directory(input_dir: str, output_dir: str, cfg: TrackConfig,
             decoded = []  # decode failures stay per-file isolated
             for name in group:
                 try:
-                    frames = decode_fn(os.path.join(input_dir, name))
+                    frames = probed_frames.pop(name, None)
+                    if frames is None:
+                        frames = decode_fn(os.path.join(input_dir, name))
                     if frames is None:
                         raise RuntimeError("decode failed")
                     decoded.append((name, frames))
@@ -346,7 +352,7 @@ def run_directory(input_dir: str, output_dir: str, cfg: TrackConfig,
                     break
     elif workers <= 1:
         for name in todo:
-            consume(process_one(name))
+            consume(process_one(name, frames=probed_frames.pop(name, None)))
             if abort:
                 break
     else:
@@ -356,7 +362,9 @@ def run_directory(input_dir: str, output_dir: str, cfg: TrackConfig,
             pending = []
             it = iter(todo)
             for name in it:
-                pending.append(pool.submit(process_one, name))
+                pending.append(pool.submit(
+                    process_one, name,
+                    frames=probed_frames.pop(name, None)))
                 if len(pending) >= 2 * workers:
                     consume(pending.pop(0).result())
                     if abort:

@@ -388,3 +388,55 @@ def test_run_directory_auto_selects_device_backend(tmp_path, monkeypatch):
     run_directory(str(in_big), str(tmp_path / "notpu"), cfg,
                   cascade_path="cascade.xml", resume=False)
     assert chosen["backend"] == "auto"
+
+
+def test_probe_decode_reused_not_repeated(tmp_path, monkeypatch):
+    """The backend probe's decode of the first clip is handed through to
+    processing — every file is decoded exactly once on all three dispatch
+    paths (round-4 advisor: the first clip used to be decoded twice)."""
+    from gifgan_tpu.track import detect as D
+    from gifgan_tpu.track.pipeline import run_directory
+
+    frames, boxes = _make_square_video()
+    big = np.pad(frames, ((0, 0), (16, 16), (0, 0), (0, 0)))
+
+    def rects_for(i):
+        if i % 5 == 0:
+            x, y, w, h = boxes[i]
+            return np.array([[x, y, w, h]], np.int64)
+        return np.zeros((0, 4), np.int64)
+
+    class FakeDetector:
+        def __call__(self, frame, i=0):
+            return [Detection.from_rect(r, i) for r in rects_for(i)]
+
+        def detect_clips(self, grays):
+            return [[rects_for(i) for i in range(g.shape[0])]
+                    for g in grays]
+
+    monkeypatch.setattr(
+        D, "default_detector",
+        lambda **kw: FakeDetector())
+    cfg = TrackConfig(min_frame_count=10, min_total_detections=3,
+                      target_size=32, max_corners=50)
+
+    names = [f"v{i}.mp4" for i in range(3)]
+    for tpu, workers, sub in ((False, 1, "serial"), (True, 1, "batched"),
+                              (False, 2, "threads")):
+        monkeypatch.setattr(D, "_tpu_available", lambda tpu=tpu: tpu)
+        counts = {}
+
+        def counting_decode(path, counts=counts):
+            counts[path] = counts.get(path, 0) + 1
+            return big
+
+        in_dir = tmp_path / ("in_" + sub)
+        in_dir.mkdir()
+        for n in names:
+            (in_dir / n).write_bytes(b"")  # decode_fn ignores contents
+        s = run_directory(str(in_dir), str(tmp_path / ("out_" + sub)), cfg,
+                          cascade_path="cascade.xml",
+                          decode_fn=counting_decode, workers=workers)
+        assert s.cnt_files_processed == 3, sub
+        assert len(counts) == 3 and all(v == 1 for v in counts.values()), \
+            (sub, counts)
