@@ -20,7 +20,15 @@ LR decays by `lr_decay_factor` every `lr_decay_every` steps (:264-266).
 
 The whole optimization runs as jitted `lax.scan` chunks — one XLA program per
 chunk length instead of the reference's per-step sess.run round trips — and z
-batches shard over the mesh data axis like any other batch.
+batches shard over the mesh data axis like any other batch: pass `mesh=` to
+`invert()` (or any variant wrapper) and the problem's batch-dim arrays
+(targets, D-activation taps, z, Adam slots) are placed over the mesh `data`
+axis with params/state replicated — per-sample loss terms stay shard-local,
+XLA reduces only the scalar batch means, and the result is bit-compatible
+with single-device execution (tests/test_sharding.py pins parity). The one
+inversion workload big enough to warrant this is the dataset-scale
+z_space_finder batch loop (reference z_space_finder.py:303-317), so
+`z_finder.extract_z_trajectories` forwards the same `mesh=`.
 """
 
 from __future__ import annotations
@@ -201,23 +209,61 @@ def _run_chunk(z, opt_state, dynamic, kind, statics, icfg, n_steps):
     return z, opt_state, losses
 
 
+def shard_problem(problem: InversionProblem, mesh,
+                  z0: Optional[Array] = None):
+    """Place an inversion problem for data-parallel execution: params/state
+    replicated, the batch-dim arrays (targets, target activations, z) sharded
+    over the mesh `data` axis. Sharding is input placement (the repo-wide
+    invariant): `_run_chunk` stays the exact same jitted program — GSPMD
+    propagates the input layouts through the scan, keeps per-sample work
+    shard-local, and inserts only the scalar-mean reductions."""
+    from gifgan_tpu.core.mesh import (DATA_AXIS, data_sharding,
+                                      replicated_sharding)
+
+    n_data = mesh.shape[DATA_AXIS]
+    b = problem.z_shape[0]
+    if b % n_data:
+        raise ValueError(
+            f"the mesh data axis ({n_data}) must divide the inversion "
+            f"batch ({b}); pad the batch (z_finder already pads partial "
+            f"batches) or shrink the mesh")
+    rep = replicated_sharding(mesh)
+    # both problem kinds share the (params, state, targets, t_acts) layout;
+    # a new kind with a different dynamic tuple must extend this placement
+    params, state, targets, t_acts = problem.dynamic
+    dynamic = (
+        jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), params),
+        jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state),
+        jax.device_put(targets, data_sharding(mesh, ndim=targets.ndim)),
+        jax.device_put(t_acts, data_sharding(mesh, ndim=t_acts.ndim)),
+    )
+    if z0 is not None:
+        z0 = jax.device_put(z0, data_sharding(mesh, ndim=z0.ndim))
+    return problem._replace(dynamic=dynamic), z0
+
+
 def invert(problem: InversionProblem, icfg: InvertConfig,
            key: Optional[Array] = None,
            z0: Optional[Array] = None,
            progress_sections: Optional[List[Tuple[int, int]]] = None,
+           mesh=None,
            ) -> Tuple[Array, np.ndarray, List[np.ndarray]]:
     """Run the optimization. Returns (z, loss_history, progress_frames).
 
     progress_sections: [(start_step, every)] — variable frame-capture
     schedule for the progress video (…optimizer.py:120-125, e.g.
     [(0, 1), (50, 5), (100, 30)] captures every step early, sparsely later).
+    mesh: optional jax.sharding.Mesh — shard the z batch (and the problem's
+    batch-dim data) over the mesh `data` axis, params replicated.
     """
     if z0 is None:
         if key is None:
             key = jax.random.PRNGKey(0)
         z0 = jax.random.uniform(key, problem.z_shape, minval=-1.0, maxval=1.0)
+    if mesh is not None:
+        problem, z0 = shard_problem(problem, mesh, z0)
     opt = _make_opt(icfg)
-    opt_state = opt.init(z0)
+    opt_state = opt.init(z0)  # after placement: slots inherit z's sharding
     z = z0
 
     capture = _capture_steps(icfg.steps, progress_sections)
@@ -271,24 +317,25 @@ def _capture_steps(total: int, sections) -> set:
 # ---------------------------------------------------------------------------
 
 def invert_images(params, state, targets, cfg: DCGANConfig,
-                  icfg: InvertConfig, key=None, progress_sections=None):
+                  icfg: InvertConfig, key=None, progress_sections=None,
+                  mesh=None):
     return invert(image_problem(params, state, targets, cfg, icfg), icfg,
-                  key=key, progress_sections=progress_sections)
+                  key=key, progress_sections=progress_sections, mesh=mesh)
 
 
 def invert_video_joint(params, state, video_frames, cfg: DCGANConfig,
-                       icfg: InvertConfig, key=None):
+                       icfg: InvertConfig, key=None, mesh=None):
     """One z per frame, jointly optimized (…_optimizer_video.py:39-40):
     video_frames is time-folded (V*T, s, s, c) and inverted exactly like a
     batch of images."""
     return invert(image_problem(params, state, video_frames, cfg, icfg),
-                  icfg, key=key)
+                  icfg, key=key, mesh=mesh)
 
 
 def invert_video_iterative(params, state, video_frames, cfg: DCGANConfig,
                            icfg: InvertConfig, num_initial_steps: int = 500,
                            num_steps_per_frame: int = 100, key=None,
-                           post_initial_lr_decay: float = 0.9):
+                           post_initial_lr_decay: float = 0.9, mesh=None):
     """One z per VIDEO, optimized frame-by-frame with warm starts — the
     reference schedule (…_optimizer_video_iterative.py:184-223,
     z_space_finder.py:136-158): `num_initial_steps` on frame 0 at full LR,
@@ -306,7 +353,7 @@ def invert_video_iterative(params, state, video_frames, cfg: DCGANConfig,
     init_cfg = dataclasses.replace(icfg, steps=num_initial_steps,
                                    batch_size=v)
     z, _, _ = invert(image_problem(params, state, video_frames[:, 0], cfg,
-                                   init_cfg), init_cfg, key=key)
+                                   init_cfg), init_cfg, key=key, mesh=mesh)
 
     # refinement: every frame at the decayed LR
     frame_cfg = dataclasses.replace(
@@ -317,16 +364,16 @@ def invert_video_iterative(params, state, video_frames, cfg: DCGANConfig,
     for frame in range(t):
         problem = image_problem(params, state, video_frames[:, frame], cfg,
                                 frame_cfg)
-        z, _, _ = invert(problem, frame_cfg, key=key, z0=z)
+        z, _, _ = invert(problem, frame_cfg, key=key, z0=z, mesh=mesh)
         zs.append(np.asarray(jax.device_get(z)))
     return np.stack(zs)  # (T, V, z_dim)
 
 
 def invert_nested_first_frame(params, state, targets, cfg: VidGANConfig,
-                              icfg: InvertConfig, key=None):
+                              icfg: InvertConfig, key=None, mesh=None):
     return invert(
         nested_first_frame_problem(params, state, targets, cfg, icfg),
-        icfg, key=key)
+        icfg, key=key, mesh=mesh)
 
 
 def apply_latent_path(params, state, z: Array, path: np.ndarray,

@@ -39,10 +39,15 @@ def extract_z_trajectories(params, state, cfg: DCGANConfig,
                            post_initial_lr_decay: float = 0.9,
                            stop_after: Optional[int] = None,
                            write_comparisons: bool = False,
-                           seed: int = 0) -> List[str]:
+                           seed: int = 0, mesh=None) -> List[str]:
     """load_clip: path -> (T, s, s, c) float [-1,1] frames or None to skip.
     Writes `<output_dir>/<clip-stem>.npy` of shape (T, z_dim). Returns the
-    list of outputs written this run."""
+    list of outputs written this run.
+
+    mesh: optional jax.sharding.Mesh — each batch's per-frame optimizations
+    run data-parallel over the mesh `data` axis (the partial-batch padding
+    above already guarantees a constant batch_size, so pick batch_size a
+    multiple of the mesh data axis)."""
     os.makedirs(output_dir, exist_ok=True)
     written: List[str] = []
     pending: List[tuple] = []
@@ -66,7 +71,8 @@ def extract_z_trajectories(params, state, cfg: DCGANConfig,
             num_initial_steps=num_initial_steps,
             num_steps_per_frame=num_steps_per_frame,
             post_initial_lr_decay=post_initial_lr_decay,
-            key=__import__("jax").random.PRNGKey(seed))   # (T, V, z_dim)
+            key=__import__("jax").random.PRNGKey(seed),
+            mesh=mesh)                                    # (T, V, z_dim)
         for i, (path, clip) in enumerate(batch[:real]):
             traj = zs[:, i, :]
             np.save(out_path(path), traj)

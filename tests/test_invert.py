@@ -104,9 +104,12 @@ def test_z_finder_resume_and_outputs(tmp_path, key):
         return clips[os.path.basename(path)]
 
     out = str(tmp_path / "z")
+    from gifgan_tpu.core.mesh import make_mesh
+
     written = extract_z_trajectories(
         params, state, CFG, icfg, sorted(clips), load_clip, out,
-        batch_size=2, num_initial_steps=5, num_steps_per_frame=3)
+        batch_size=2, num_initial_steps=5, num_steps_per_frame=3,
+        mesh=make_mesh(data_parallel=2, model_parallel=4))  # dp over `data`
     assert len(written) == 3
     traj = np.load(os.path.join(out, "clip0.npy"))
     assert traj.shape == (3, 12)
