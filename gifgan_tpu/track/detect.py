@@ -171,13 +171,15 @@ def find_default_cascade() -> Optional[str]:
 
 # Measured Haar-backend crossover (BASELINE.md, real chip, 2026-08-19):
 # per-clip device detection loses to the native C++ evaluator below ~200 px
-# frames (fixed ~200 ms dispatch overhead dominates) and wins 2.5x at 256 px;
-# BATCHED device detection (DeviceHaarDetector.detect_clips, 8 clips per
-# dispatch) amortizes that overhead and wins 1.80x even at the realistic
-# 128 px mturk distribution. 100 px is the conservative floor below which
-# nothing was measured and the native path stays default.
+# frames (fixed ~200 ms dispatch overhead dominates, crossing over around
+# 200 px) and wins 2.5x at 256 px; BATCHED device detection
+# (DeviceHaarDetector.detect_clips, 8 clips per dispatch) amortizes that
+# overhead and wins 1.80x even at the realistic 128 px mturk distribution —
+# auto-selection therefore always batches on the device path, which
+# dominates per-clip dispatch at every measured size. 100 px is the
+# conservative floor below which nothing was measured and the native path
+# stays default.
 DEVICE_BATCH_MIN_PX = 100
-DEVICE_PERCLIP_MIN_PX = 200
 AUTO_DETECT_BATCH = 8
 
 
@@ -203,16 +205,18 @@ def select_detector_backend(min_frame_px: Optional[int], *,
 
     Replaces the hot loop the reference runs through cv2's CascadeClassifier
     per frame (track_faces.py:260-262). Policy:
-      - no TPU / no cascade file / unknown frame size / thread-pool workers
-        (the device program is one serialized resource): native C++;
+      - no TPU / no cascade file / unknown frame size: native C++;
       - frames at or above the batched crossover: device backend, batching
         detect_batch_clips (or AUTO_DETECT_BATCH when the caller didn't ask
-        for a specific batch);
+        for a specific batch). workers > 1 composes with this since round 5:
+        the pipeline runs ONE dispatcher thread that owns the device
+        cascade while N workers decode and track (run_directory), so the
+        serialized device program no longer forces the host path;
       - below the crossover: native, batching off.
     Explicit --detector-backend values bypass this entirely (pipeline only
     calls it for "auto")."""
-    if (not tpu_available or not cascade_available or workers > 1
-            or min_frame_px is None):
+    del workers  # composed via the pipeline's dispatcher thread (round 5)
+    if not tpu_available or not cascade_available or min_frame_px is None:
         return "native", 1
     if min_frame_px >= DEVICE_BATCH_MIN_PX:
         batch = detect_batch_clips if detect_batch_clips > 1 \

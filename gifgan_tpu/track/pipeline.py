@@ -172,8 +172,10 @@ def run_directory(input_dir: str, output_dir: str, cfg: TrackConfig,
     host stages per file. Amortizes the fixed ~200 ms/dispatch device
     costs: measured 1.80x the native C++ detector on the realistic 128px
     mturk distribution at batch 8 (BASELINE.md, 2026-08-19) where the
-    per-clip device path only reached 1.3x. Mutually exclusive with
-    workers > 1 (the device program is one serialized resource anyway)."""
+    per-clip device path only reached 1.3x. Composes with workers > 1
+    (round 5): the device program stays one serialized resource, owned by
+    a single dispatcher thread, while the workers decode ahead of it and
+    track behind it."""
     from gifgan_tpu.track import detect as D
 
     os.makedirs(output_dir, exist_ok=True)
@@ -297,11 +299,100 @@ def run_directory(input_dir: str, output_dir: str, cfg: TrackConfig,
                 stats.write(output_dir, params)
                 last_dash = time.time()
 
-    if detect_batch_clips > 1 and hasattr(detector, "detect_clips"):
-        if workers > 1:
-            raise ValueError("detect_batch_clips and workers>1 are mutually "
-                             "exclusive (one device program serializes "
-                             "detection anyway)")
+    def _to_gray(f):
+        return (np.dot(f[..., :3].astype(np.float64), [0.299, 0.587, 0.114])
+                if f.ndim == 4 and f.shape[-1] >= 3
+                else np.asarray(f, np.float64)[..., 0]
+                if f.ndim == 4 else np.asarray(f, np.float64))
+
+    if detect_batch_clips > 1 and hasattr(detector, "detect_clips") \
+            and workers > 1:
+        # Composed dispatcher (round-4 verdict item 5): the device cascade
+        # is ONE serialized program, but decode and tracking are host work
+        # that threads fine (both release the GIL in their C++ loops). N
+        # workers decode ahead and track behind; this thread alone owns the
+        # device detector and letterbox-batches decoded clips across
+        # sources (detect_clips already batches within a call). Agreement
+        # with the serial batched path is pinned in tests/test_track.py;
+        # throughput evidence is bounded by this host's single core (the
+        # design exists for multi-core TPU hosts).
+        from concurrent.futures import ThreadPoolExecutor
+
+        from gifgan_tpu.track.boxes import Detection
+
+        def decode_one(name):
+            frames = probed_frames.pop(name, None)
+            if frames is None:
+                frames = decode_fn(os.path.join(input_dir, name))
+            if frames is None:
+                raise RuntimeError("decode failed")
+            return name, frames
+
+        window = max(2 * workers, detect_batch_clips)
+        with ThreadPoolExecutor(max_workers=workers) as dec_pool, \
+                ThreadPoolExecutor(max_workers=workers) as trk_pool:
+            it = iter(todo)
+            dec_pending = []        # decode futures, in submission order
+            trk_pending = []        # tracking futures, in submission order
+
+            def top_up():
+                while len(dec_pending) < window:
+                    name = next(it, None)
+                    if name is None:
+                        return
+                    dec_pending.append(dec_pool.submit(decode_one, name))
+
+            top_up()
+            while dec_pending and not abort:
+                group = []          # decode failures stay per-file isolated
+                while dec_pending and len(group) < detect_batch_clips \
+                        and not abort:
+                    fut = dec_pending.pop(0)
+                    try:
+                        group.append(fut.result())
+                    except Exception:
+                        local = TrackStats()
+                        local.cnt_files_errored += 1
+                        traceback.print_exc()
+                        consume((local, False, 0.0))
+                    top_up()
+                if not group:
+                    continue
+                grays = [_to_gray(f) for _, f in group]
+                t0 = time.time()
+                try:
+                    group_rects = detector.detect_clips(grays)
+                except Exception:
+                    # batched dispatch failed (e.g. canvas over the
+                    # integral-image precision bound): per-clip fallback
+                    # inside process_one — same results, no amortization
+                    traceback.print_exc()
+                    group_rects = [None] * len(group)
+                share = (time.time() - t0) / len(group)
+                for (name, frames), clip_rects in zip(group, group_rects):
+                    pf = None if clip_rects is None else [
+                        [Detection.from_rect(r, fi) for r in fr]
+                        for fi, fr in enumerate(clip_rects)]
+                    trk_pending.append(trk_pool.submit(
+                        process_one, name, frames=frames, per_frame=pf,
+                        base_seconds=share))
+                # harvest finished tracking without stalling the dispatcher
+                while trk_pending and not abort and (
+                        trk_pending[0].done()
+                        or len(trk_pending) > 2 * workers):
+                    consume(trk_pending.pop(0).result())
+            while trk_pending and not abort:
+                consume(trk_pending.pop(0).result())
+            # on abort the in-flight files still finish (pool shutdown
+            # waits) — fold their stats so they agree with output_dir
+            aborted = abort
+            for fut in trk_pending:
+                local, ok, seconds = fut.result()
+                with lock:
+                    stats.update(local)
+                    stats.observe_file_time(seconds)
+            abort = aborted
+    elif detect_batch_clips > 1 and hasattr(detector, "detect_clips"):
         from gifgan_tpu.track.boxes import Detection
 
         i = 0
@@ -326,12 +417,7 @@ def run_directory(input_dir: str, output_dir: str, cfg: TrackConfig,
                         break
             if abort or not decoded:
                 continue
-            grays = [np.dot(f[..., :3].astype(np.float64),
-                            [0.299, 0.587, 0.114])
-                     if f.ndim == 4 and f.shape[-1] >= 3
-                     else np.asarray(f, np.float64)[..., 0]
-                     if f.ndim == 4 else np.asarray(f, np.float64)
-                     for _, f in decoded]
+            grays = [_to_gray(f) for _, f in decoded]
             t0 = time.time()
             try:
                 group_rects = detector.detect_clips(grays)

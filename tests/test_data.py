@@ -278,6 +278,74 @@ def test_device_corpus_matmul_matches_take():
         rtol=2e-5)   # XLA folds /127.5 into mul-by-reciprocal
 
 
+def test_device_corpus_fold_sample_value_exact():
+    """fold_sample_fn: time-folded output equals sample() followed by the
+    caller-side fold for all three methods — same ints, same scale formula;
+    the only permitted slack is XLA's per-program division->reciprocal
+    folding (<=2e-5, the tolerance the matmul-vs-take parity above holds
+    to). bf16 out_dtype equals one f32->bf16 rounding of those values (the
+    conversion the bf16 conv input pays anyway)."""
+    import jax.numpy as jnp
+
+    from gifgan_tpu.data.device import DeviceCorpus
+
+    rng = np.random.default_rng(2)
+    corpus = rng.integers(0, 256, (23, 4, 8, 8, 3), np.uint8)
+    idx = jnp.asarray(rng.integers(0, 23, (6,)), jnp.int32)
+    for method in ("matmul", "take", "pallas"):
+        c = DeviceCorpus(corpus, method=method)
+        want = np.asarray(c.sample(idx)).reshape(6 * 4, 8, 8, 3)
+        got = np.asarray(c.fold_sample_fn(c.data, idx))
+        assert got.shape == (24, 8, 8, 3) and got.dtype == np.float32
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5,
+                                   err_msg=method)
+    c = DeviceCorpus(corpus, method="matmul")
+    bf = np.asarray(c.fold_sample_fn(c.data, idx, out_dtype=jnp.bfloat16)
+                    .astype(jnp.float32))
+    want = np.asarray(c.sample(idx)).reshape(6 * 4, 8, 8, 3)
+    np.testing.assert_allclose(
+        bf, np.asarray(jnp.asarray(want).astype(jnp.bfloat16)
+                       .astype(jnp.float32)), rtol=4e-3, atol=4e-3)
+    # unit range keeps the late-scale path too
+    cu = DeviceCorpus(corpus, method="matmul", out_range="unit")
+    wantu = np.asarray(cu.sample(idx)).reshape(6 * 4, 8, 8, 3)
+    np.testing.assert_allclose(
+        np.asarray(cu.fold_sample_fn(cu.data, idx)), wantu,
+        rtol=2e-5, atol=2e-5)
+
+
+def test_train_chunk_ids_accepts_folded_sampler(key):
+    """train_chunk_ids with DeviceCorpus.fold_sample_fn (already-folded
+    (B*T, ...) frames) computes the same losses as with sample_fn."""
+    import jax
+    import jax.numpy as jnp
+
+    from gifgan_tpu.core.config import DCGANConfig, TrainConfig, VidGANConfig
+    from gifgan_tpu.data.device import DeviceCorpus
+    from gifgan_tpu.train import vid as vid_train
+
+    img = DCGANConfig(output_size=32, c_dim=1, z_dim=12, gf_dim=8, df_dim=8)
+    cfg = VidGANConfig(z_input_size=16, z_output_size=12, vid_length=4,
+                       hidden_dim=16, d_filters=8, image_gan=img)
+    tcfg = TrainConfig(batch_size=4, disc_updates=1, gen_updates=1)
+    rng = np.random.default_rng(3)
+    corpus = DeviceCorpus(rng.integers(0, 256, (16, 4, 32, 32, 1), np.uint8))
+    ids = jnp.asarray(rng.integers(0, 16, (2, 4)), jnp.int32)
+    z = jnp.asarray(rng.uniform(-1, 1, (2, 4, 16)), jnp.float32)
+
+    ts1 = vid_train.init_train_state(key, cfg, tcfg)
+    ts1, m1 = vid_train.train_chunk_ids(ts1, ids, z, jax.random.PRNGKey(5),
+                                        corpus.data, cfg, tcfg,
+                                        sample_fn=corpus.sample_fn)
+    ts2 = vid_train.init_train_state(key, cfg, tcfg)
+    ts2, m2 = vid_train.train_chunk_ids(ts2, ids, z, jax.random.PRNGKey(5),
+                                        corpus.data, cfg, tcfg,
+                                        sample_fn=corpus.fold_sample_fn)
+    for k in m1:
+        np.testing.assert_allclose(np.asarray(m2[k]), np.asarray(m1[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+
 def test_device_corpus_pallas_matches_take():
     """Pallas scalar-prefetch gather (kernels/gather.py) matches jnp.take
     exactly, including the non-tile-multiple item padding path and take's

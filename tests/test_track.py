@@ -292,16 +292,27 @@ def test_run_directory_batched_detect_matches_sequential(tmp_path):
                  if f.endswith(".mp4"))
     assert seq == bat
 
-    with pytest.raises(ValueError):
-        run_directory(str(in_dir), str(tmp_path / "x"), cfg, detector=det,
-                      workers=2, detect_batch_clips=2, resume=False)
+    # round 5: batched detection COMPOSES with decode/track workers — one
+    # dispatcher thread owns the device program, the pool decodes/tracks;
+    # results and dispatch count must match the serial batched path
+    FakeDeviceDetector.dispatches = 0
+    s3 = run_directory(str(in_dir), str(tmp_path / "thr"), cfg, detector=det,
+                       workers=2, detect_batch_clips=2, resume=False)
+    assert FakeDeviceDetector.dispatches == 3  # ceil(5 / 2) groups
+    assert s3.cnt_files_processed == 5
+    assert s3.cnt_final_tracks == s1.cnt_final_tracks
+    thr = sorted(f for f in os.listdir(tmp_path / "thr")
+                 if f.endswith(".mp4"))
+    assert thr == seq
 
 
 # ----- detector backend auto-selection (measured crossover as default) ------
 
 def test_select_detector_backend_crossover_matrix():
     """Pins the BASELINE.md crossover policy: device+batch on TPU hosts at
-    >=100px frames, native below / without a TPU / under thread workers."""
+    >=100px frames, native below / without a TPU. Since round 5 workers
+    no longer force native — the pipeline's dispatcher thread serializes
+    the device program while workers decode/track around it."""
     from gifgan_tpu.track.detect import (AUTO_DETECT_BATCH,
                                          select_detector_backend)
 
@@ -315,9 +326,11 @@ def test_select_detector_backend_crossover_matrix():
     assert select_detector_backend(64, tpu_available=True) == ("native", 1)
     # no TPU -> native regardless of size
     assert select_detector_backend(256, tpu_available=False) == ("native", 1)
-    # thread-pool workers serialize the one device program -> native
+    # thread-pool workers compose via the dispatcher thread (round 5) —
+    # the device path survives
     assert select_detector_backend(256, tpu_available=True,
-                                   workers=4) == ("native", 1)
+                                   workers=4) == ("device",
+                                                  AUTO_DETECT_BATCH)
     # unknown frame size (probe failed) -> host default
     assert select_detector_backend(None, tpu_available=True) == ("native", 1)
     # no cascade file -> the device/native evaluators can't load a model
