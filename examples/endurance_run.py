@@ -62,6 +62,16 @@ def parse_args():
                    help="device corpus gather: Pallas scalar-prefetch DMA "
                         "gather, MXU one-hot matmul (76x the row gather at "
                         "flagship shape), or jnp.take")
+    p.add_argument("--corpus-layout", default="frames",
+                   choices=("frames", "clips"),
+                   help="DeviceCorpus resident layout. 'frames' (default "
+                        "since round 5, matmul sampler only): the gather "
+                        "output reaches the time-folded training batch via "
+                        "a contiguous row-permutation transpose instead of "
+                        "the retiling reshape+copy the per-op profile "
+                        "measured at ~8.4 ms/step (42.4 -> 33.9 ms/step "
+                        "device; values exact). 'clips' restores the "
+                        "round-4 layout and per-step cost.")
     p.add_argument("--packed-c3", action="store_true",
                    help="phase-packed c=3 end layers (flagship bench "
                         "execution, +6% step): changes the program hash, so "
@@ -203,7 +213,10 @@ def main():
     print(f"[endurance] generating {args.corpus_clips}-clip corpus",
           flush=True)
     corpus = synthetic_clips(args.corpus_clips, length=T, size=64)  # u8
-    device_corpus = DeviceCorpus(corpus, method=args.corpus_sampler)
+    corpus_layout = (args.corpus_layout
+                     if args.corpus_sampler == "matmul" else "clips")
+    device_corpus = DeviceCorpus(corpus, method=args.corpus_sampler,
+                                 layout=corpus_layout)
     del corpus
 
 
@@ -367,7 +380,10 @@ def main():
             ts, m = vid_train.train_chunk_ids(
                 ts, chunk_idx(c), z, jax.random.PRNGKey(c),
                 device_corpus.data, cfg, tcfg,
-                sample_fn=device_corpus.sample_fn, knobs=knobs)
+                # fold_sample_fn: time folds into batch inside the gather
+                # (value-exact; with layout="frames" this is the round-5
+                # formatting fix — see --corpus-layout)
+                sample_fn=device_corpus.fold_sample_fn, knobs=knobs)
             d_loss = float(np.asarray(m["d_loss"][-1]))  # sync point
             dt = time.perf_counter() - t0
             c += 1

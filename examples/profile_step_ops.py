@@ -54,6 +54,11 @@ def main():
                    help="(with --fold-gather) emit frames in bf16: noise "
                         "then draws in bf16 too (ops/nn.add_noise uses "
                         "x.dtype), halving the uniform->normal transform")
+    p.add_argument("--corpus-layout", default="clips",
+                   choices=["clips", "frames"],
+                   help="DeviceCorpus resident layout: 'frames' (T, N, F) "
+                        "turns the fold into a cheap row-permutation "
+                        "transpose instead of the measured-hot reshape")
     args = p.parse_args()
 
     import jax
@@ -88,7 +93,8 @@ def main():
         from gifgan_tpu.data.synthetic import synthetic_clips
 
         corpus = DeviceCorpus(synthetic_clips(args.corpus_clips, length=T,
-                                              size=64))
+                                              size=64),
+                              layout=args.corpus_layout)
         ids = jnp.asarray(np.random.default_rng(3).integers(
             0, args.corpus_clips, (K, B)), jnp.int32)
         knobs = (None if args.no_knobs

@@ -99,6 +99,26 @@ def quantize_act(x: Array) -> Tuple[Array, Array]:
     return xq.astype(jnp.int8), scale
 
 
+# Candidate fractions of the max-derived scale swept by MSE calibration
+# (calibrate_* mode="mse"). 1.0 = plain max-abs; smaller fractions trade
+# clipping of the tail against finer resolution for the bulk.
+MSE_FRACTIONS = tuple(round(0.30 + 0.05 * i, 2) for i in range(15))  # .30–1.0
+
+
+def _mse_sweep(x32: Array, s_base: Array) -> Array:
+    """Quantization MSE of x under each candidate scale s_base * f for f in
+    MSE_FRACTIONS -> (len(MSE_FRACTIONS),). lax.map keeps peak memory at one
+    copy of x instead of |fractions|."""
+
+    def one(f):
+        s = s_base * f
+        xq = jnp.clip(jnp.round(x32 / s), -QMAX, QMAX)
+        err = xq * s - x32
+        return jnp.mean(err * err)
+
+    return jax.lax.map(one, jnp.asarray(MSE_FRACTIONS, jnp.float32))
+
+
 def _act(x: Array, q: Dict, obs=None, key: str = None
          ) -> Tuple[Array, Array]:
     """Activation quantization for one layer: static when the layer carries
@@ -107,15 +127,35 @@ def _act(x: Array, q: Dict, obs=None, key: str = None
     activation) and makes the graph input-independent.
 
     obs: optional dict for calibration — records this layer's observed
-    max|x| under `key` (call unjitted so the maxima are concrete)."""
+    max|x| under `key` (call unjitted so the maxima are concrete). On a
+    layer that already carries a static 'as' (a second calibration pass),
+    the capture additionally records the quantization-MSE sweep over
+    MSE_FRACTIONS of that scale — the evidence mse-mode calibration
+    refines 'as' from."""
     if obs is not None:
-        m = jnp.max(jnp.abs(x.astype(jnp.float32)))
-        obs[key] = jnp.maximum(obs.get(key, 0.0), m)
+        x32 = x.astype(jnp.float32)
+        m = jnp.max(jnp.abs(x32))
+        if "as" in q:
+            obs[key] = {"max": m, "mse": _mse_sweep(x32, q["as"])}
+        else:
+            prev = obs.get(key, 0.0)
+            obs[key] = jnp.maximum(prev if not isinstance(prev, dict)
+                                   else 0.0, m)
     if "as" in q:
         scale = q["as"]
         xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -QMAX, QMAX)
         return xq.astype(jnp.int8), scale
     return quantize_act(x)
+
+
+def _obs_out(y: Array, obs, key) -> Array:
+    """Record a layer's per-output-channel PRE-ACTIVATION output mean under
+    obs['__out_mean__'][key] — the evidence bias_correct_* matches against
+    the float reference's means."""
+    if obs is not None and key is not None:
+        obs.setdefault("__out_mean__", {})[key] = jnp.mean(
+            y.astype(jnp.float32), axis=tuple(range(y.ndim - 1)))
+    return y
 
 
 # ---------------------------------------------------------------------------
@@ -138,12 +178,13 @@ def qlinear(q: Dict, x: Array, obs=None, key: str = None) -> Array:
     """int8 counterpart of nn.linear (w layout (in, out), out_axis=1).
     Float layers in a mixed-precision tree run the plain f32 affine."""
     if not _is_q(q):
-        return jnp.dot(x.astype(jnp.float32), q["w"]) + q["b"]
+        return _obs_out(jnp.dot(x.astype(jnp.float32), q["w"]) + q["b"],
+                        obs, key)
     xq, s_x = _act(x, q, obs, key)
     acc = jax.lax.dot_general(xq, q["wq"],
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
-    return _dequant(acc, s_x, q)
+    return _obs_out(_dequant(acc, s_x, q), obs, key)
 
 
 def qconv2d(q: Dict, x: Array, stride: int = 2, obs=None,
@@ -154,7 +195,7 @@ def qconv2d(q: Dict, x: Array, stride: int = 2, obs=None,
         xq, q["wq"], (stride, stride), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
-    return _dequant(acc, s_x, q)
+    return _obs_out(_dequant(acc, s_x, q), obs, key)
 
 
 def qdeconv2d(q: Dict, x: Array, stride: int = 2, obs=None,
@@ -167,8 +208,8 @@ def qdeconv2d(q: Dict, x: Array, stride: int = 2, obs=None,
     mixed-precision tree run the f32 dilated deconv (ops/nn.py).
     """
     if not _is_q(q):
-        return nn.deconv2d(q, x.astype(jnp.float32), stride=stride,
-                           dtype=jnp.float32)
+        return _obs_out(nn.deconv2d(q, x.astype(jnp.float32), stride=stride,
+                                    dtype=jnp.float32), obs, key)
     xq, s_x = _act(x, q, obs, key)
     w = q["wq"]
     k = w.shape[0]
@@ -182,7 +223,7 @@ def qdeconv2d(q: Dict, x: Array, stride: int = 2, obs=None,
         lhs_dilation=(stride, stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
-    return _dequant(acc, s_x, q)
+    return _obs_out(_dequant(acc, s_x, q), obs, key)
 
 
 # ---------------------------------------------------------------------------
@@ -369,17 +410,44 @@ def _with_scales(q: Dict, obs: Dict, margin: float) -> Dict:
 
 def _fold_maxima(maxima: Dict, observed: Dict) -> None:
     """Merge one batch's observed max|x| tree (possibly nested one level)
-    into the running host-side maxima."""
+    into the running host-side maxima. Skips the '__out_mean__' capture
+    (bias correction's channel — folded by _fold_means) and, on a
+    second-pass capture ({'max','mse'} per layer), folds max|x| and SUMS
+    the MSE sweep."""
     for k, v in observed.items():
-        if isinstance(v, dict):
+        if k == "__out_mean__":
+            continue
+        if isinstance(v, dict) and "mse" in v:
+            slot = maxima.setdefault(k, {"max": 0.0, "mse": 0.0})
+            slot["max"] = max(slot["max"], float(v["max"]))
+            import numpy as _np
+
+            slot["mse"] = slot["mse"] + _np.asarray(v["mse"], _np.float64)
+        elif isinstance(v, dict):
             _fold_maxima(maxima.setdefault(k, {}), v)
         else:
             prev = maxima.get(k, 0.0)
             maxima[k] = max(prev, float(v))
 
 
+def _refine_scales_mse(q: Dict, swept: Dict) -> Dict:
+    """Copy of a calibrated layer tree with each static 'as' replaced by
+    as * argmin-MSE fraction (see _act's second-pass capture)."""
+    import numpy as _np
+
+    out = {}
+    for name, layer in q.items():
+        out[name] = layer
+        if isinstance(layer, dict) and "as" in layer and name in swept \
+                and isinstance(swept[name], dict):
+            best = MSE_FRACTIONS[int(_np.argmin(swept[name]["mse"]))]
+            out[name] = dict(layer)
+            out[name]["as"] = layer["as"] * jnp.float32(best)
+    return out
+
+
 def calibrate_vid_stack(q: Dict, z_batches, cfg: VidGANConfig,
-                        margin: float = 1.05) -> Dict:
+                        margin: float = 1.05, mode: str = "max") -> Dict:
     """Static activation calibration for the full serving stack: run the
     quantized forward over calibration z batches recording each layer's
     max|x|, and bake per-layer static scales (x margin of headroom).
@@ -389,6 +457,12 @@ def calibrate_vid_stack(q: Dict, z_batches, cfg: VidGANConfig,
     the data. Inputs beyond the calibrated range CLIP — standard PTQ
     behavior; margin trades clipping risk against resolution. Returns a new
     q tree; the input is unmodified.
+
+    mode="mse" (round-5, the int8 cliff work): after the max pass, a second
+    sweep measures each layer's quantization MSE at MSE_FRACTIONS of the
+    max-derived scale and keeps the argmin — scales shrink below max-abs
+    exactly where a heavy activation tail wastes resolution on values the
+    bulk never uses (margin is ignored; the sweep subsumes it).
 
     The observer is jitted (the obs dict of tracers is just another pytree
     output), so each calibration batch is ONE dispatch — per-op eager
@@ -400,15 +474,26 @@ def calibrate_vid_stack(q: Dict, z_batches, cfg: VidGANConfig,
         generate_videos_q(qq, z, cfg, obs=obs)
         return obs
 
-    maxima: Dict = {}
-    for z in z_batches:
-        _fold_maxima(maxima, jax.device_get(observe(q, jnp.asarray(z))))
-    return {"vid": _with_scales(q["vid"], maxima.get("vid", {}), margin),
-            "img": _with_scales(q["img"], maxima.get("img", {}), margin)}
+    def sweep(qq):
+        maxima: Dict = {}
+        for z in z_batches:
+            _fold_maxima(maxima, jax.device_get(observe(qq, jnp.asarray(z))))
+        return maxima
+
+    m1 = margin if mode == "max" else 1.0
+    maxima = sweep(q)
+    out = {"vid": _with_scales(q["vid"], maxima.get("vid", {}), m1),
+           "img": _with_scales(q["img"], maxima.get("img", {}), m1)}
+    if mode == "mse":
+        swept = sweep(out)
+        out = {"vid": _refine_scales_mse(out["vid"], swept.get("vid", {})),
+               "img": _refine_scales_mse(out["img"], swept.get("img", {}))}
+    return out
 
 
 def calibrate_image_generator(q: Dict, z_batches, cfg: DCGANConfig,
-                              margin: float = 1.05) -> Dict:
+                              margin: float = 1.05, mode: str = "max"
+                              ) -> Dict:
     """calibrate_vid_stack for a standalone image generator tree."""
 
     @jax.jit
@@ -417,10 +502,83 @@ def calibrate_image_generator(q: Dict, z_batches, cfg: DCGANConfig,
         image_generator_q(qq, z, cfg, obs=obs)
         return obs
 
-    maxima: Dict = {}
-    for z in z_batches:
-        _fold_maxima(maxima, jax.device_get(observe(q, jnp.asarray(z))))
-    return _with_scales(q, maxima, margin)
+    def sweep(qq):
+        maxima: Dict = {}
+        for z in z_batches:
+            _fold_maxima(maxima, jax.device_get(observe(qq, jnp.asarray(z))))
+        return maxima
+
+    out = _with_scales(q, sweep(q), margin if mode == "max" else 1.0)
+    if mode == "mse":
+        out = _refine_scales_mse(out, sweep(out))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# per-layer bias correction (round-5, the int8 cliff work)
+# ---------------------------------------------------------------------------
+
+_VID_LAYER_ORDER = (("vid", "lin0"), ("vid", "lin1"), ("vid", "lin2"),
+                    ("vid", "lin3"), ("img", "h0_lin"), ("img", "h1_deconv"),
+                    ("img", "h2_deconv"), ("img", "h3_deconv"),
+                    ("img", "h4_deconv"))
+
+
+def _mean_fold(acc: Dict, obs: Dict) -> None:
+    """Accumulate '__out_mean__' captures (nested one level) into running
+    per-layer sums (caller divides by the batch count)."""
+    import numpy as _np
+
+    for grp in ("vid", "img"):
+        for k, v in obs.get(grp, {}).get("__out_mean__", {}).items():
+            key = (grp, k)
+            acc[key] = acc.get(key, 0.0) + _np.asarray(v, _np.float64)
+
+
+def bias_correct_vid_stack(q: Dict, params, state, z_batches,
+                           cfg: VidGANConfig) -> Dict:
+    """Per-layer empirical bias correction: make each quantized layer's
+    per-channel PRE-ACTIVATION output mean match the float (BN-folded)
+    reference's over the calibration batches, by folding the difference
+    into the layer bias — the standard PTQ counter to the systematic shift
+    weight+activation quantization induces (the int8 track-rate cliff is a
+    margin property, and a mean shift eats margin everywhere at once).
+
+    Layers are corrected in forward order, recomputing the quantized
+    stack's means after each correction so downstream layers see the
+    corrected upstream outputs. Returns a new q tree (biases replaced);
+    weights, scales, and the integer contraction path are untouched, so
+    the integer-exactness tests hold by construction."""
+    # all-float twin of the same folded stack = the reference means
+    qf = quantize_vid_stack(
+        params, state,
+        float_layers=tuple(f"{g}/{n}" for g, n in _VID_LAYER_ORDER))
+
+    @jax.jit
+    def observe(qq, z):
+        obs: Dict = {}
+        generate_videos_q(qq, z, cfg, obs=obs)
+        return obs
+
+    def mean_pass(qq):
+        acc: Dict = {}
+        n = 0
+        for z in z_batches:
+            _mean_fold(acc, jax.device_get(observe(qq, jnp.asarray(z))))
+            n += 1
+        return {k: v / n for k, v in acc.items()}
+
+    ref = mean_pass(qf)
+    out = {g: {k: (dict(v) if isinstance(v, dict) else v)
+               for k, v in q[g].items()} for g in q}
+    for grp, name in _VID_LAYER_ORDER:
+        layer = out.get(grp, {}).get(name)
+        if not (isinstance(layer, dict) and "wq" in layer):
+            continue                      # float layers already match
+        cur = mean_pass(out)
+        delta = ref[(grp, name)] - cur[(grp, name)]
+        layer["b"] = layer["b"] + jnp.asarray(delta, jnp.float32)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -312,6 +312,18 @@ def test_device_corpus_fold_sample_value_exact():
     np.testing.assert_allclose(
         np.asarray(cu.fold_sample_fn(cu.data, idx)), wantu,
         rtol=2e-5, atol=2e-5)
+    # frame-major resident layout: same values from both entry points
+    want = np.asarray(DeviceCorpus(corpus, method="take").sample(idx))
+    cf = DeviceCorpus(corpus, method="matmul", layout="frames")
+    np.testing.assert_allclose(np.asarray(cf.sample(idx)), want,
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(cf.fold_sample_fn(cf.data, idx)),
+        want.reshape(6 * 4, 8, 8, 3), rtol=2e-5, atol=2e-5)
+    import pytest
+
+    with pytest.raises(ValueError, match="frames"):
+        DeviceCorpus(corpus, method="take", layout="frames")
 
 
 def test_train_chunk_ids_accepts_folded_sampler(key):

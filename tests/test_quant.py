@@ -377,3 +377,109 @@ def test_float_last_artifact_roundtrip(key, tmp_path):
                            minval=-1, maxval=1)
     np.testing.assert_array_equal(np.asarray(sample_q(q, z, cfg)),
                                   np.asarray(sample_q(q2, z, cfg2)))
+
+
+def test_mse_sweep_beats_maxabs_on_outlier():
+    """_mse_sweep mechanism: a lone extreme outlier drags the max-abs scale
+    up and wastes bulk resolution; the argmin-MSE fraction clips it and
+    lowers total error. (With int8's 127 levels the MSE win is inherently
+    modest — a few tens of percent at fractions 0.85-0.95; the sweep's job
+    is to take it when the data offers it and return 1.0 when it doesn't,
+    which the in-distribution case below pins.)"""
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1.0, 1.0, 20000).astype(np.float32)
+    x[7] = 100.0                        # analytic optimum ~0.9 for this mix
+    x32 = jnp.asarray(x)
+    s_max = jnp.float32(float(np.abs(x).max()) / quant.QMAX)
+    mses = np.asarray(quant._mse_sweep(x32, s_max))
+    best = int(np.argmin(mses))
+    assert quant.MSE_FRACTIONS[best] < 1.0, quant.MSE_FRACTIONS[best]
+    assert mses[best] < mses[-1]        # last fraction == 1.0 == max-abs
+
+    # benign data: max-abs is already optimal -> the sweep returns 1.0
+    y = jnp.asarray(rng.uniform(-1.0, 1.0, 20000).astype(np.float32))
+    s_y = jnp.float32(float(np.abs(np.asarray(y)).max()) / quant.QMAX)
+    mses_y = np.asarray(quant._mse_sweep(y, s_y))
+    assert quant.MSE_FRACTIONS[int(np.argmin(mses_y))] == 1.0
+
+
+def test_mse_calibration_mode(key):
+    """mode='mse' installs scales at most the max-derived ones, the forward
+    still runs, and error vs the float folded reference does not regress
+    vs max-mode calibration on in-distribution data."""
+    cfg = DCGANConfig(output_size=32, c_dim=3, z_dim=25,
+                      gf_dim=16, compute_dtype="float32")
+    params, state = _boosted_image_gan(key, cfg)
+    q = quant.quantize_image_generator(params, state)
+    calib = [jax.random.uniform(jax.random.PRNGKey(i), (16, cfg.z_dim),
+                                minval=-1, maxval=1) for i in (10, 11)]
+    q_max = quant.calibrate_image_generator(q, calib, cfg, margin=1.0)
+    q_mse = quant.calibrate_image_generator(q, calib, cfg, mode="mse")
+    for name in q_mse:
+        assert float(q_mse[name]["as"]) <= float(q_max[name]["as"]) + 1e-12
+
+    z = jax.random.uniform(jax.random.PRNGKey(12), (8, cfg.z_dim),
+                           minval=-1, maxval=1)
+    ref = np.asarray(quant.image_generator_folded(params, state, z, cfg),
+                     np.float64)
+    e_max = np.abs(np.asarray(quant.image_generator_q(q_max, z, cfg),
+                              np.float64) - ref).mean()
+    e_mse = np.abs(np.asarray(quant.image_generator_q(q_mse, z, cfg),
+                              np.float64) - ref).mean()
+    assert e_mse <= e_max * 1.15  # must not meaningfully regress
+
+
+def test_bias_correction_matches_float_means(key):
+    """bias_correct_vid_stack drives each quantized layer's per-channel
+    output mean toward the float folded reference's on the calibration
+    batches, and shrinks the stack-level output mean error."""
+    img = DCGANConfig(output_size=32, c_dim=1, z_dim=16, gf_dim=16,
+                      compute_dtype="float32")
+    cfg = VidGANConfig(z_input_size=20, z_output_size=16, vid_length=4,
+                       hidden_dim=32, image_gan=img,
+                       compute_dtype="float32")
+    params, state = vid_dcgan.init(key, cfg)
+    params = jax.tree_util.tree_map(lambda x: x * 5, params)
+    z = jax.random.uniform(jax.random.PRNGKey(4), (6, cfg.z_input_size),
+                           minval=-1, maxval=1)
+    _, _, gs, igs = vid_dcgan.generate_videos(params, state, z, cfg,
+                                              train=True)
+    state = state._replace(vid_generator=gs, img_generator=igs)
+
+    calib = [jax.random.uniform(jax.random.PRNGKey(i),
+                                (8, cfg.z_input_size), minval=-1, maxval=1)
+             for i in (7, 8)]
+    q = quant.quantize_vid_stack(params, state)
+    qc = quant.bias_correct_vid_stack(q, params, state, calib, cfg)
+
+    # weights and scales untouched; only biases moved
+    for grp, name in quant._VID_LAYER_ORDER:
+        np.testing.assert_array_equal(np.asarray(qc[grp][name]["wq"]),
+                                      np.asarray(q[grp][name]["wq"]))
+        np.testing.assert_array_equal(np.asarray(qc[grp][name]["ws"]),
+                                      np.asarray(q[grp][name]["ws"]))
+
+    # the guaranteed invariant: every quantized layer's per-channel
+    # PRE-ACTIVATION mean over the calibration batches now matches the
+    # float reference's (correcting layer k never disturbs layers above
+    # it, so the whole stack converges in one forward-ordered pass)
+    def layer_means(qq):
+        acc = {}
+        for z in calib:
+            obs = {}
+            quant.generate_videos_q(qq, z, cfg, obs=obs)
+            quant._mean_fold(acc, jax.device_get(obs))
+        return {k: v / len(calib) for k, v in acc.items()}
+
+    qf = quant.quantize_vid_stack(
+        params, state,
+        float_layers=tuple(f"{g}/{n}" for g, n in quant._VID_LAYER_ORDER))
+    ref = layer_means(qf)
+    before = layer_means(q)
+    after = layer_means(qc)
+    for k in ref:
+        e_b = float(np.abs(before[k] - ref[k]).mean())
+        e_a = float(np.abs(after[k] - ref[k]).mean())
+        scale = float(np.abs(ref[k]).mean()) + 1e-9
+        assert e_a <= max(e_b, 1e-7), (k, e_b, e_a)
+        assert e_a / scale < 1e-3 or e_a < 1e-5, (k, e_a, scale)
