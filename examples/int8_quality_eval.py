@@ -32,6 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--step", type=int, default=None,
+                    help="checkpoint step (default: latest in the dir)")
     ap.add_argument("--clips", type=int, default=256)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--cpu", action="store_true")
@@ -48,6 +50,12 @@ def main():
     ap.add_argument("--float-layers", default="",
                     help="comma-separated layers to keep f32, e.g. "
                          "'vid/lin3,img/h0_lin' (mixed-precision ablation)")
+    ap.add_argument("--calib-mode", default="max", choices=["max", "mse"],
+                    help="static-scale calibration: plain max-abs or the "
+                         "round-5 argmin-MSE fraction sweep")
+    ap.add_argument("--bias-correct", action="store_true",
+                    help="per-layer empirical bias correction against the "
+                         "float folded reference (round-5 cliff work)")
     ap.add_argument("--json", default=None, help="also write results here")
     args = ap.parse_args()
 
@@ -90,12 +98,14 @@ def main():
     ts = vid_train.init_train_state(jax.random.PRNGKey(0), cfg,
                                     TrainConfig(batch_size=args.batch))
     ts = vid_train.VidTrainState(**ckpt.restore(args.checkpoint,
-                                                ts._asdict()))
+                                                ts._asdict(),
+                                                step=args.step))
     float_layers = tuple(s for s in args.float_layers.split(",") if s)
     q, sample_q = vid_train.quantize_sampler(
         ts, cfg, calib_batches=args.calib_batches,
         calib_batch_size=args.batch, float_last=args.float_last,
-        float_layers=float_layers)
+        float_layers=float_layers, calib_mode=args.calib_mode,
+        bias_correct=args.bias_correct)
 
     def to_u8(v):
         return np.asarray(jnp.clip((v + 1.0) * 127.5, 0, 255)).astype(
@@ -171,7 +181,9 @@ def main():
         "checkpoint": args.checkpoint,
         "dtype_float_path": args.dtype,
         "int8_variant": (f"static-calib x{args.calib_batches}"
+                         f"[{args.calib_mode}]"
                          if args.calib_batches else "dynamic")
+                        + (" + bias-correct" if args.bias_correct else "")
                         + (" + float-last" if args.float_last else "")
                         + (f" + float[{args.float_layers}]"
                            if float_layers else ""),

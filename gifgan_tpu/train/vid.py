@@ -307,7 +307,8 @@ def load_image_gan(ts: VidTrainState, ckpt_dir: str, step=None) -> VidTrainState
 def quantize_sampler(ts: VidTrainState, cfg: VidGANConfig,
                      calib_batches: int = 0, calib_batch_size: int = 64,
                      calib_key=None, float_last: bool = False,
-                     float_layers=()):
+                     float_layers=(), calib_mode: str = "max",
+                     bias_correct: bool = False):
     """int8 serving sampler: quantize the frozen generator stack once
     (ops/quant.py — BN folded, per-channel int8 weights) and return
     (qtree, jitted fn(qtree, z) -> (B, T, s, s, c)).
@@ -315,7 +316,13 @@ def quantize_sampler(ts: VidTrainState, cfg: VidGANConfig,
     calib_batches > 0 additionally bakes STATIC activation scales from that
     many uniform-z calibration batches (quant.calibrate_vid_stack): the
     forward then skips the per-layer dynamic max reduce and clips inputs
-    beyond the calibrated range.
+    beyond the calibrated range. calib_mode="mse" refines each scale by
+    the argmin-MSE fraction sweep (round-5 cliff work).
+
+    bias_correct=True runs the per-layer empirical bias correction
+    (quant.bias_correct_vid_stack) over the calibration batches (8
+    default batches when calib_batches == 0), AFTER scale calibration so
+    the correction sees the final quantization config.
 
     2x MXU rate vs bf16 on v5e for the conv-bound sampler; parity with the
     float path is pinned in tests/test_quant.py.
@@ -324,13 +331,19 @@ def quantize_sampler(ts: VidTrainState, cfg: VidGANConfig,
 
     q = quant.quantize_vid_stack(ts.params, ts.state, float_last=float_last,
                                  float_layers=float_layers)
-    if calib_batches > 0:
+    n_z = max(calib_batches, 8 if bias_correct else 0)
+    zs = []
+    if n_z:
         key = calib_key if calib_key is not None else jax.random.PRNGKey(11)
         zs = [jax.random.uniform(jax.random.fold_in(key, i),
                                  (calib_batch_size, cfg.z_input_size),
                                  minval=-1.0, maxval=1.0)
-              for i in range(calib_batches)]
-        q = quant.calibrate_vid_stack(q, zs, cfg)
+              for i in range(n_z)]
+    if calib_batches > 0:
+        q = quant.calibrate_vid_stack(q, zs[:calib_batches], cfg,
+                                      mode=calib_mode)
+    if bias_correct:
+        q = quant.bias_correct_vid_stack(q, ts.params, ts.state, zs, cfg)
     return q, sample_videos_q
 
 
