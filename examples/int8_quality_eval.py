@@ -56,6 +56,10 @@ def main():
     ap.add_argument("--bias-correct", action="store_true",
                     help="per-layer empirical bias correction against the "
                          "float folded reference (round-5 cliff work)")
+    ap.add_argument("--finish-steps", type=int, default=0,
+                    help="fake-quant/STE finishing steps before serving "
+                         "(quant.finish_vid_stack; lr 1e-5, round-5 "
+                         "cliff work's third rung)")
     ap.add_argument("--json", default=None, help="also write results here")
     args = ap.parse_args()
 
@@ -106,6 +110,21 @@ def main():
         calib_batch_size=args.batch, float_last=args.float_last,
         float_layers=float_layers, calib_mode=args.calib_mode,
         bias_correct=args.bias_correct)
+    if args.finish_steps:
+        from gifgan_tpu.ops import quant
+
+        q = quant.finish_vid_stack(q, ts.params, ts.state, cfg,
+                                   steps=args.finish_steps,
+                                   batch=args.batch)
+        if args.bias_correct:   # re-match means on the finished weights
+            import jax as _jax
+
+            zs = [_jax.random.uniform(
+                _jax.random.fold_in(_jax.random.PRNGKey(11), i),
+                (args.batch, cfg.z_input_size), minval=-1.0, maxval=1.0)
+                for i in range(8)]
+            q = quant.bias_correct_vid_stack(q, ts.params, ts.state, zs,
+                                             cfg)
 
     def to_u8(v):
         return np.asarray(jnp.clip((v + 1.0) * 127.5, 0, 255)).astype(
@@ -184,6 +203,8 @@ def main():
                          f"[{args.calib_mode}]"
                          if args.calib_batches else "dynamic")
                         + (" + bias-correct" if args.bias_correct else "")
+                        + (f" + finish x{args.finish_steps}"
+                           if args.finish_steps else "")
                         + (" + float-last" if args.float_last else "")
                         + (f" + float[{args.float_layers}]"
                            if float_layers else ""),

@@ -483,3 +483,57 @@ def test_bias_correction_matches_float_means(key):
         scale = float(np.abs(ref[k]).mean()) + 1e-9
         assert e_a <= max(e_b, 1e-7), (k, e_b, e_a)
         assert e_a / scale < 1e-3 or e_a < 1e-5, (k, e_a, scale)
+
+
+def test_fake_quant_finish_mechanism(key):
+    """finish_vid_stack: (a) the fake-quant forward agrees with the real
+    int8 forward on the same tree (same grids, STE is forward-transparent);
+    (b) at steps=0 re-quantization is a no-op (wq unchanged); (c) a short
+    finishing run reduces int8-vs-float pixel error on held-out z."""
+    img = DCGANConfig(output_size=32, c_dim=1, z_dim=16, gf_dim=16,
+                      compute_dtype="float32")
+    cfg = VidGANConfig(z_input_size=20, z_output_size=16, vid_length=4,
+                       hidden_dim=32, image_gan=img,
+                       compute_dtype="float32")
+    params, state = vid_dcgan.init(key, cfg)
+    params = jax.tree_util.tree_map(lambda x: x * 5, params)
+    zc = jax.random.uniform(jax.random.PRNGKey(4), (6, cfg.z_input_size),
+                            minval=-1, maxval=1)
+    _, _, gs, igs = vid_dcgan.generate_videos(params, state, zc, cfg,
+                                              train=True)
+    state = state._replace(vid_generator=gs, img_generator=igs)
+
+    calib = [jax.random.uniform(jax.random.PRNGKey(i),
+                                (8, cfg.z_input_size), minval=-1, maxval=1)
+             for i in (7, 8)]
+    q = quant.quantize_vid_stack(params, state)
+    q = quant.calibrate_vid_stack(q, calib, cfg)
+
+    # (a) fq forward == real quantized forward on the same grids
+    qf = quant.quantize_vid_stack(
+        params, state,
+        float_layers=tuple(f"{g}/{n}" for g, n in quant._VID_LAYER_ORDER))
+    wf = {g: {n: {"w": qf[g][n]["w"], "b": qf[g][n]["b"]} for n in qf[g]}
+          for g in qf}
+    scales = {g: {n: q[g][n]["as"] for n in q[g]} for g in q}
+    z = jax.random.uniform(jax.random.PRNGKey(9), (5, cfg.z_input_size),
+                           minval=-1, maxval=1)
+    fq = np.asarray(quant._fq_generate_videos(wf, scales, z, cfg))
+    real, _ = quant.generate_videos_q(q, z, cfg)
+    np.testing.assert_allclose(fq, np.asarray(real), rtol=2e-4, atol=2e-4)
+
+    # (b) zero-step finishing is a re-quantization no-op
+    q0 = quant.finish_vid_stack(q, params, state, cfg, steps=0)
+    for grp, name in quant._VID_LAYER_ORDER:
+        np.testing.assert_array_equal(np.asarray(q0[grp][name]["wq"]),
+                                      np.asarray(q[grp][name]["wq"]),
+                                      err_msg=f"{grp}/{name}")
+
+    # (c) finishing reduces held-out int8-vs-float pixel error
+    qn = quant.finish_vid_stack(q, params, state, cfg, steps=120, batch=16,
+                                lr=1e-5)
+    ref, _ = quant.generate_videos_q(qf, z, cfg)      # float folded
+    e0 = float(np.abs(np.asarray(real) - np.asarray(ref)).mean())
+    after, _ = quant.generate_videos_q(qn, z, cfg)
+    e1 = float(np.abs(np.asarray(after) - np.asarray(ref)).mean())
+    assert e1 < e0, (e0, e1)
