@@ -386,12 +386,19 @@ def cmd_quantize_export(args):
     cfg, ts = _load_vid_train_state(args.checkpoint)
     q, _ = vid_train.quantize_sampler(ts, cfg,
                                       calib_batches=args.calib_batches,
-                                      float_last=args.float_last)
+                                      float_last=args.float_last,
+                                      calib_mode=args.calib_mode,
+                                      bias_correct=args.bias_correct)
+    if args.finish_steps:
+        q = quant.finish_vid_stack(q, ts.params, ts.state, cfg,
+                                   steps=args.finish_steps)
     path = quant.save_artifact(args.out_dir, q, cfg)
     n_bytes = sum(os.path.getsize(os.path.join(root, f))
                   for root, _, fs in os.walk(args.out_dir) for f in fs)
     print(f"int8 artifact written to {path} ({n_bytes / 1e6:.1f} MB, "
-          f"calib_batches={args.calib_batches}, "
+          f"calib_batches={args.calib_batches} mode={args.calib_mode}, "
+          f"bias_correct={args.bias_correct}, "
+          f"finish_steps={args.finish_steps}, "
           f"float_last={args.float_last})")
 
 
@@ -1090,6 +1097,18 @@ def main(argv=None):
     p.add_argument("--out-dir", required=True)
     p.add_argument("--calib-batches", type=int, default=0,
                    help="bake static activation scales from N batches")
+    p.add_argument("--calib-mode", default="max", choices=["max", "mse"],
+                   help="static-scale calibration: max-abs or the argmin-"
+                        "MSE fraction sweep (docs/SERVING.md round-5)")
+    p.add_argument("--bias-correct", action="store_true",
+                   help="per-layer empirical bias correction vs the float "
+                        "folded reference — the measured best lever on "
+                        "margin checkpoints (docs/SERVING.md round-5)")
+    p.add_argument("--finish-steps", type=int, default=0,
+                   help="fake-quant/STE finishing steps before export "
+                        "(best pixel fidelity; run the paired eval — "
+                        "detector-metric consumers may prefer "
+                        "--bias-correct alone)")
     p.add_argument("--float-last", action="store_true",
                    help="keep the tanh output layer in f32 (mixed "
                         "precision; see sample-wall --int8-float-last)")

@@ -14,18 +14,23 @@ import os
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
-# The suite is XLA:CPU-compile-dominated on this 1-core host (round-4
-# verdict item 3: ~45 min). Dialing LLVM down to -O1 and skipping the
-# expensive-pass set cuts measured compile CPU ~40% (test_vid_dcgan.py:
-# 145 s -> 86 s user time) without touching float semantics — these are
-# optimization-LEVEL flags, not fast-math; every numeric tolerance in the
-# suite still holds. Runtime of the compiled code is slower, but the suite
-# spends its time compiling, not running. Set before first jax import;
-# tests/isolation.py children inherit via os.environ.
-for _f in ("--xla_llvm_disable_expensive_passes=true",
-           "--xla_backend_optimization_level=1"):
-    if _f.split("=")[0] not in _flags:
-        _flags += " " + _f
+# Round-5 suite-time findings (verdict item 3, measured then REVERTED —
+# don't re-try these):
+#   * LLVM -O1 + --xla_llvm_disable_expensive_passes cut compile CPU ~40%
+#     (test_vid_dcgan 145->86 s user) BUT (a) changed float codegen
+#     (FMA/vectorization) enough to break the committed loss-trajectory
+#     golden and a sharding-parity tolerance — these flags are NOT
+#     numerics-transparent — and (b) slowed the execution-bound tests, so
+#     the full suite only went 45->41 min. Numerics integrity wins.
+#   * A per-child persistent XLA:CPU cache (JAX_COMPILATION_CACHE_DIR in
+#     the subprocess smokes) saves just 30-40 s per ~280 s endurance
+#     smoke: those tests are EXECUTION-bound, not compile-bound.
+#   * pytest-xdist cannot help at nproc=1 (this host); on a multi-core
+#     host `-n 2 --dist loadfile` is the right config (module-scoped
+#     fixtures and the cache-clear boundary are per-worker-safe).
+# Net: the suite's ~40-45 min is CPU-bound work (durations: the three
+# endurance subprocess smokes alone are ~14 min of real execution); a
+# <25 min wall needs >=2 cores, not flags.
 os.environ["XLA_FLAGS"] = _flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 

@@ -91,6 +91,18 @@ def test_cli_train_vid_and_sample_wall(tmp_path):
           "--batch-size", "4", "--num-batches", "1", "--quantized"])
     assert len([f for f in os.listdir(wall_art) if f.endswith(".gif")]) == 4
 
+    # round-5 recovery rungs compose on export: mse scales + bias
+    # correction + a couple of STE finishing steps, artifact still serves
+    qdir2 = str(tmp_path / "qmodel_r5")
+    _run(["quantize-export", "--checkpoint",
+          os.path.join(run_dir, "checkpoints"), "--out-dir", qdir2,
+          "--calib-batches", "2", "--calib-mode", "mse", "--bias-correct",
+          "--finish-steps", "2"])
+    wall_r5 = str(tmp_path / "wall_r5")
+    _run(["sample-wall", "--checkpoint", qdir2, "--out-dir", wall_r5,
+          "--batch-size", "4", "--num-batches", "1", "--quantized"])
+    assert len([f for f in os.listdir(wall_r5) if f.endswith(".gif")]) == 4
+
 
 def test_cli_train_recurrent(tmp_path):
     run_dir = str(tmp_path / "rec")
